@@ -1,0 +1,123 @@
+"""Checkpoint/lineage manifest + idempotent resume (SURVEY §5: the
+race/offset tests become kill-and-rerun idempotence tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+from commerce_logs_pipeline_spark.operators.router import with_partition_cols
+from commerce_logs_pipeline_spark.plans.checkpoint import (
+    ManifestStore,
+    completion_events,
+)
+from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
+from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+
+def test_manifest_fold_monotonic_and_latched(spark, tmp_path):
+    store = ManifestStore(str(tmp_path / "manifest"))
+    df1 = spark.createDataFrame(
+        [("2024-01-01", 0, "open", 10, 100, 90, 10, 0, None, None, "r1", None)],
+        "day string, bucket int, status string, max_turn_watermark long, "
+        "rows_processed long, rows_routed long, rows_skipped long, rows_error long, "
+        "first_processed_ts timestamp, last_processed_ts timestamp, run_id string, "
+        "updated_at timestamp",
+    )
+    store.append(df1)
+    # second event: LOWER watermark, closed status
+    df2 = df1.withColumn("max_turn_watermark", F.lit(5)).withColumn(
+        "status", F.lit("closed")
+    ).withColumn("run_id", F.lit("r2"))
+    store.append(df2)
+    state = store.current_state(spark).collect()[0]
+    assert state.max_turn_watermark == 10  # monotonic: never goes backwards
+    assert state.status == "closed"
+    assert state.rows_processed == 200  # summed
+
+    # duplicate delivery of r2 must be idempotent (dedup on run_id)
+    store.append(df2)
+    state = store.current_state(spark).collect()[0]
+    assert state.rows_processed == 200
+
+    # a later "open" event must NOT reopen the latch
+    df3 = df1.withColumn("run_id", F.lit("r3"))
+    store.append(df3)
+    assert store.current_state(spark).collect()[0].status == "closed"
+
+
+def test_pipeline_end_to_end_and_resume_noop(spark, tmp_path):
+    base = str(tmp_path / "out")
+    df = generate_transcripts(spark, 5_000, partitions=4)
+    rep1 = run_pipeline(spark, df, base, run_id="runA")
+    assert rep1.rows_in == 5_000
+    assert rep1.counts["total"] == 5_000
+
+    # all partitions closed -> immediate no-op on rerun
+    rep2 = run_pipeline(spark, df, base, run_id="runB")
+    assert rep2.rows_in == 0
+    assert rep2.resumed_partitions_skipped
+
+    # sink outputs readable + row-accounting matches
+    total_sink_rows = 0
+    for name, path in rep1.sink_paths.items():
+        total_sink_rows += spark.read.parquet(path).count()
+    assert total_sink_rows == rep1.counts["total"] - rep1.counts["skipped"]
+
+
+def test_crash_rerun_is_idempotent(spark, tmp_path):
+    """Simulate: run 1 writes sinks but dies BEFORE manifest append; rerun
+    must converge to the same final state without duplicates."""
+    base = str(tmp_path / "out")
+    df = generate_transcripts(spark, 3_000, partitions=4)
+
+    # "crashed" first attempt: sinks written, manifest never appended
+    from commerce_logs_pipeline_spark.operators.router import route, write_sinks
+    from commerce_logs_pipeline_spark.plans.enrich import enrich_with_default_dims
+
+    parsed = enrich_with_default_dims(
+        parse_transcripts(with_partition_cols(df))
+    )
+    write_sinks(route(parsed, persist=False), f"{base}/sinks")
+
+    # full rerun (resume sees nothing committed -> reprocesses everything)
+    rep = run_pipeline(spark, df, base, run_id="runC")
+    assert rep.rows_in == 3_000
+
+    http = spark.read.parquet(f"{base}/sinks/http_logs")
+    expected = parsed.filter("category = 'http'").count()
+    assert http.count() == expected  # dynamic overwrite -> no duplicates
+
+    # every row still unique by (conv_id, turn_idx)
+    assert http.select("conv_id", "turn_idx").distinct().count() == http.count()
+
+
+def test_partial_progress_resume(spark, tmp_path):
+    """Partitions committed in run 1 are skipped by run 2; totals still add
+    up exactly once (per-partition lineage, worker.go:307-413 analog)."""
+    base = str(tmp_path / "out")
+    df = generate_transcripts(spark, 4_000, partitions=4)
+    part = with_partition_cols(df)
+
+    # run 1: process only bucket < 8 (half the partitions)
+    half = part.filter(F.col("bucket") < 8).drop("day", "bucket")
+    rep1 = run_pipeline(spark, half, base, run_id="run1")
+
+    # run 2: full input; must process only the remaining partitions
+    rep2 = run_pipeline(spark, df, base, run_id="run2")
+    assert rep1.rows_in + rep2.rows_in == 4_000
+
+    store = ManifestStore(f"{base}/_manifest")
+    state = store.current_state(spark)
+    assert state.filter("status != 'closed'").count() == 0
+    total = state.agg(F.sum("rows_processed")).collect()[0][0]
+    assert total == 4_000
+
+
+def test_completion_events_shape(spark, parsed_10k):
+    ev = completion_events(with_partition_cols(parsed_10k), "runX")
+    rows = ev.collect()
+    assert all(r.status == "closed" and r.run_id == "runX" for r in rows)
+    assert sum(r.rows_processed for r in rows) == 10_000
+    for r in rows:
+        assert r.rows_processed == r.rows_routed + r.rows_skipped

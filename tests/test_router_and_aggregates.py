@@ -1,0 +1,161 @@
+"""Router conservation + aggregate correctness (SURVEY §5: routed-row
+equality, per-sink aggregate counts, salted-agg equivalence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.operators.router import (
+    DEFAULT_SINKS,
+    check_conservation,
+    route,
+    routed_counts,
+    with_partition_cols,
+)
+from commerce_logs_pipeline_spark.operators.skew import conv_turn_counts_salted
+from commerce_logs_pipeline_spark.plans.aggregate import (
+    conv_turn_counts,
+    latest_state_per_conv,
+    per_tool_call_rates,
+    top_k_conversations,
+    windowed_tool_rates,
+)
+from commerce_logs_pipeline_spark.plans.enrich import enrich_with_default_dims
+
+
+def test_conservation(parsed_10k):
+    counts = check_conservation(parsed_10k)
+    assert counts["total"] == 10_000
+    assert counts["sink:http_logs"] > 0
+    assert counts["skipped"] > 0
+
+
+def test_each_row_lands_in_exactly_one_sink(parsed_10k):
+    """Routed-row equality: union of sinks + skipped == input, no dupes."""
+    result = route(parsed_10k, persist=False)
+    key = ["conv_id", "turn_idx"]
+    frames = list(result.sink_frames.values()) + [
+        parsed_10k.filter(F.col("category") == "skipped")
+    ]
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    assert union.count() == 10_000
+    assert union.select(key).distinct().count() == 10_000
+    # and the union is exactly the input rows
+    assert union.select(key).exceptAll(parsed_10k.select(key)).count() == 0
+
+
+def test_routed_counts_match_category_sums(parsed_10k):
+    by_cat = {r["category"]: r["n"] for r in routed_counts(parsed_10k).collect()}
+    result = route(parsed_10k, persist=False)
+    for name, cats in DEFAULT_SINKS.items():
+        assert result.sink_frames[name].count() == sum(
+            by_cat.get(c, 0) for c in cats
+        ), name
+
+
+def test_conv_turn_counts_against_manual(parsed_10k):
+    got = {r.conv_id: r for r in conv_turn_counts(parsed_10k).collect()}
+    # independent computation through plain SQL on the same session
+    parsed_10k.createOrReplaceTempView("p10k")
+    exp = parsed_10k.sparkSession.sql(
+        """SELECT conv_id, count(*) n, max(turn_idx) m,
+                  sum(CASE WHEN category IN ('error','parse_error') THEN 1 ELSE 0 END) e
+           FROM p10k GROUP BY conv_id"""
+    ).collect()
+    assert len(exp) == len(got)
+    for r in exp:
+        g = got[r.conv_id]
+        assert (g.n_turns, g.max_turn_idx, g.n_errors) == (r.n, r.m, r.e)
+
+
+def test_salted_agg_equals_unsalted(parsed_10k):
+    plain = conv_turn_counts(parsed_10k)
+    salted = conv_turn_counts_salted(parsed_10k, n_salts=7)
+    cols = plain.columns
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+
+
+def test_turn_idx_dense_per_conversation(transcripts_10k):
+    """Ordering invariant: turn_idx is 0..k-1 dense per conv (FIXTURES §1)."""
+    bad = (
+        transcripts_10k.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"),
+             F.min("turn_idx").alias("mn"),
+             F.countDistinct("turn_idx").alias("nd"))
+        .filter("mn != 0 OR mx != n - 1 OR nd != n")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ts_monotonic_within_conversation(transcripts_10k):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bad = (
+        transcripts_10k.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("ts") <= F.col("prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_latest_state_per_conv(parsed_10k):
+    latest = latest_state_per_conv(parsed_10k)
+    assert latest.count() == parsed_10k.select("conv_id").distinct().count()
+    joined = latest.alias("l").join(
+        parsed_10k.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).alias("m"),
+        on="conv_id",
+    )
+    assert joined.filter(F.col("turn_idx") != F.col("mx")).count() == 0
+
+
+def test_top_k(parsed_10k):
+    rows = top_k_conversations(parsed_10k, 5).collect()
+    assert len(rows) == 5
+    ns = [r.n_turns for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_windowed_rates_bounded(parsed_10k):
+    w = windowed_tool_rates(parsed_10k, lookback=4)
+    bad = w.filter(
+        (F.col("tool_calls_in_window") < 0)
+        | (F.col("tool_calls_in_window") > 5)
+        | (F.col("error_rate_in_window") < 0)
+        | (F.col("error_rate_in_window") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_enrich_broadcast_join(parsed_10k):
+    enriched = enrich_with_default_dims(parsed_10k)
+    assert enriched.count() == 10_000  # left joins preserve cardinality
+    tool_rows = enriched.filter(F.col("category") == "tool_call")
+    assert tool_rows.filter(F.col("tool_category").isNull()).count() == 0
+    assert enriched.filter(
+        (F.col("role") == "user") & (F.col("role_class") != "human")
+    ).count() == 0
+    # plan check: both dim joins must be broadcast (north rule)
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_per_tool_rates(parsed_10k):
+    rows = per_tool_call_rates(parsed_10k).collect()
+    assert {r.tool_name for r in rows} <= {
+        "search", "code_exec", "fetch", "db_query", "summarize", "translate"
+    }
+    total = sum(r.calls for r in rows)
+    assert total == parsed_10k.filter("category='tool_call'").count()
+    for r in rows:
+        assert 0.0 <= r.error_rate <= 1.0
+
+
+def test_partition_cols(transcripts_10k):
+    df = with_partition_cols(transcripts_10k)
+    assert df.filter((F.col("bucket") < 0) | (F.col("bucket") >= 16)).count() == 0
+    assert df.filter(~F.col("day").rlike(r"^\d{4}-\d{2}-\d{2}$")).count() == 0
