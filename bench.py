@@ -1,0 +1,112 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- Headline operator queries run at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each timed to full
+  materialization via the noop sink (no collect cost, no disk cost).
+- The transcript pipeline (parse -> enrich -> route -> aggregate; the
+  BASELINE.json target metric) is timed end-to-end over a pre-materialized
+  parquet input (input generation is excluded from the timing), reported
+  as pipeline_sec + turns_per_sec.
+
+For the N-vs-4N scaling evidence see tools/bench_scaling.py which runs this
+pipeline at two parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "filter_pushdown_revenue",
+    "shipping_priority_top10",
+    "region_revenue",
+    "latest_order_per_customer",
+    "topk_per_group",
+    "error_rate_by_user",
+    "sessionize_events",
+    "windowed_rolling_avg",
+    "range_correlate",
+    "asof_join_prior_signup",
+    "doc_quality_scores",
+    "lang_id_confusion",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_topk_bruteforce",
+]
+
+PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "1000000"))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def prepare_pipeline_input(spark, turns: int, path: str) -> None:
+    from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    generate_transcripts(spark, turns).write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as E
+    from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
+    from commerce_logs_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="clp-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    t_total0 = time.monotonic()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # --- transcript pipeline end-to-end (the authoritative metric) --------
+    input_path = f"/tmp/clp_bench_input_{PIPELINE_TURNS}"
+    prepare_pipeline_input(spark, PIPELINE_TURNS, input_path)
+    transcripts = spark.read.parquet(input_path)
+    out_path = f"/tmp/clp_bench_out_{cpus}_{int(time.time())}"
+    t0 = time.monotonic()
+    report = run_pipeline(
+        spark, transcripts, out_path, resume=False, write_aggregates=True
+    )
+    pipeline_sec = round(time.monotonic() - t0, 3)
+    timings["pipeline_end_to_end"] = pipeline_sec
+
+    total = round(time.monotonic() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "pipeline_turns": report.rows_in,
+                "turns_per_sec": round(report.rows_in / pipeline_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

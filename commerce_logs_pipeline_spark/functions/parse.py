@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..schemas import FMT1_SCHEMA, FMT2_SCHEMA
+from ..schemas import MERGED_RAW_SCHEMA
 
 # extractor.go:29
 REQUEST_LINE_RX = r"^([A-Z_]+)\s+([^\s]+)\s+([A-Z]+)/[\d.]+$"
@@ -88,14 +88,29 @@ def grok_udf(pattern: str):
     schema = T.StructType([T.StructField(n, _TYPE_MAP[t], True) for n, t in fields])
     compiled = re.compile(rx)  # compiled once per executor (X14 idiom)
 
+    # cheap vectorized prefilter: a literal prefix (before the first
+    # meta-character) lets us regex only candidate rows instead of all
+    prefix = re.match(r"^\^?([\w ]+)", pattern.replace("%", "\x00"))
+    literal_prefix = prefix.group(1).split("\x00")[0].strip() if prefix else ""
+
     @pandas_udf(schema)
     def _extract(s: pd.Series) -> pd.DataFrame:
-        out = s.str.extract(compiled)
+        if literal_prefix:
+            mask = s.str.startswith(literal_prefix, na=False)
+            out = pd.DataFrame(index=s.index,
+                               columns=[n for n, _ in fields], dtype=object)
+            if mask.any():
+                out.loc[mask, :] = s[mask].str.extract(compiled).to_numpy()
+        else:
+            out = s.str.extract(compiled)
         for name, typ in fields:
             if typ in _PD_CAST:
                 out[name] = pd.to_numeric(out[name], errors="coerce").astype(
                     _PD_CAST[typ]
                 )
+            else:
+                out[name] = out[name].astype("object").where(out[name].notna(),
+                                                             None)
         return out
 
     return _extract
@@ -149,10 +164,9 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     is_blank = txt.isNull() | txt.rlike(r"^\s*$")
     json_like = F.regexp_replace(txt, r"^\s+", "").startswith("{")
 
-    fmt1 = F.from_json(
-        txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
+    merged = F.from_json(
+        txt, MERGED_RAW_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
     )
-    fmt2 = F.from_json(txt, FMT2_SCHEMA)
 
     if use_pandas_grok:
         tool_struct = grok_udf(TOOL_CALL_PATTERN)(txt)
@@ -168,13 +182,9 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
             .cast("long").alias("tool_args_bytes"),
         )
 
-    df = (
-        df.withColumn("_f1", fmt1)
-        .withColumn("_f2", fmt2)
-        .withColumn("_tool", tool_struct)
-    )
+    df = df.withColumn("_f1", merged).withColumn("_tool", tool_struct)
     f1 = F.col("_f1")
-    f2 = F.col("_f2")
+    f2 = F.col("_f1")
     logs1 = f1["Logs"]
     ctx = logs1["contextMap"]
     apache = f2["logs"]
@@ -334,6 +344,6 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .withColumn("tool_args_bytes", F.col("_tool")["tool_args_bytes"])
         .withColumn("parse_error", parse_error_msg)
         .withColumn("error_type", error_type)
-        .drop("_f1", "_f2", "_tool")
+        .drop("_f1", "_tool")
     )
     return parsed

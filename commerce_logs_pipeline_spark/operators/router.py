@@ -106,6 +106,58 @@ def check_conservation(parsed: DataFrame, sinks: dict[str, list[str]] | None = N
     return out
 
 
+def write_sinks_single_pass(
+    parsed: DataFrame,
+    base_path: str,
+    sinks: dict[str, list[str]] | None = None,
+    mode: str = "overwrite",
+    n_buckets: int = N_BUCKETS,
+) -> dict[str, str]:
+    """ONE write job, partitioned by (category, day, bucket): every sink
+    lands in its category partition directories in a single pass over the
+    parsed frame — the multi-output write the reference does with K Kafka
+    producers (S5), collapsed into one Spark job.
+
+    A "sink" is then the union of its category partitions; returned paths
+    point at the category roots (read with ``spark.read.parquet(base).
+    filter(col("category").isin(...))`` for pruned access). At 100 TB this
+    saves K-1 full passes over the parse output vs. write_sinks().
+
+    category='skipped' rows are written too (their partition is NOT any
+    sink — silent-drop-but-counted semantics, service.go:232-235) so that
+    counts/manifest/aggregates can all be derived from the written output
+    without re-parsing or caching the wide frame.
+    """
+    sinks = sinks or DEFAULT_SINKS
+    path = f"{base_path}/routed"
+    n_tasks = parsed.sparkSession.sparkContext.defaultParallelism
+    (
+        with_partition_cols(parsed, n_buckets)
+        # hash-distribute on the partition keys before the write (the
+        # Iceberg write.distribution-mode=hash analog): each task owns a
+        # set of (day,bucket) groups and writes one file per partition dir
+        # instead of every task spraying files into every dir
+        .repartition(n_tasks, F.col("day"), F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("category", "day", "bucket")
+        .parquet(path)
+    )
+    # Hadoop-glob paths: each sink reads exactly its category partitions
+    # (read via read_sink(), which sets basePath for partition discovery)
+    return {
+        name: f"{path}/category={{{','.join(cats)}}}"
+        for name, cats in sinks.items()
+    }
+
+
+def read_sink(spark, sink_path: str) -> DataFrame:
+    """Read a sink written by write_sinks_single_pass (glob of category
+    partition dirs). basePath points at the routed root so day/bucket/
+    category partition columns resolve and partition pruning applies."""
+    base = sink_path.split("/category=")[0]
+    return spark.read.option("basePath", base).parquet(sink_path)
+
+
 def write_sinks(
     result: RouteResult,
     base_path: str,

@@ -3,20 +3,28 @@ with per-partition lineage checkpointing and idempotent resume.
 
 This is the Spark job equivalent of the reference's service topology
 (/root/reference: blob-monitor -> ingest -> extraction -> sinks; SURVEY §3):
-one DataFrame DAG per run instead of long-running Kafka consumers. The
-multi-stage structure is:
+one DataFrame DAG per run instead of long-running Kafka consumers.
 
-  input (day/bucket partitioned)
-    -> anti-join closed partitions from the lineage manifest   [resume]
-    -> vectorized parse kernel (map-only, no shuffle)          [parse]
-    -> broadcast joins with role/tool dims (no shuffle)        [enrich]
-    -> persist once; K filtered partitioned sink writes        [route]
-    -> grouped/window aggregates + manifest completion events  [aggregate]
+Execution shape (exactly two passes over the data):
 
-Scale notes: the only shuffles are the aggregates and the per-partition
-completion rollup; sink writes reuse one persisted parse. AQE handles
-runtime coalescing; hot conversations go through operators/skew.py salting
-for the per-conv aggregate when requested.
+  PASS 1 (map-only + one write):
+    input (day/bucket partitioned)
+      -> anti-join closed partitions from the lineage manifest   [resume]
+      -> vectorized parse kernel (no shuffle)                    [parse]
+      -> broadcast joins with role/tool dims (no shuffle)        [enrich]
+      -> ONE write partitioned by (category, day, bucket)        [route]
+
+  PASS 2 (columnar, pruned):
+    read back the routed parquet — scans touch only the few columns each
+    aggregate needs (ReadSchema pruning), not the wide text payloads —
+      -> routed counts + conservation check                      [metrics]
+      -> grouped/window aggregates                               [aggregate]
+      -> per-(day,bucket) completion events -> manifest append   [checkpoint]
+
+Rationale at 100 TB: caching the wide parsed frame for K sink writes (the
+obvious design) spills heavily and re-reads text columns for every
+aggregate; writing once and re-reading pruned columnar data is strictly
+cheaper past trivial scale, and the routed table IS the product anyway.
 """
 
 from __future__ import annotations
@@ -25,15 +33,17 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.parse import parse_transcripts
 from ..operators.router import (
     DEFAULT_SINKS,
-    RouteResult,
     check_conservation,
     route,
+    routed_counts,
     with_partition_cols,
     write_sinks,
+    write_sinks_single_pass,
 )
 from .aggregate import (
     conv_turn_counts,
@@ -56,6 +66,21 @@ class PipelineReport:
     extras: dict = field(default_factory=dict)
 
 
+def _counts_from_by_cat(by_cat: dict[str, int],
+                        sinks: dict[str, list[str]]) -> dict[str, int]:
+    total = sum(by_cat.values())
+    out = {f"sink:{name}": sum(by_cat.get(c, 0) for c in cats)
+           for name, cats in sinks.items()}
+    out["skipped"] = by_cat.get("skipped", 0)
+    out["total"] = total
+    routed = sum(out[f"sink:{n}"] for n in sinks)
+    if routed + out["skipped"] != total:
+        raise AssertionError(
+            f"router conservation violated: {by_cat} routed={routed}"
+        )
+    return out
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -64,52 +89,111 @@ def run_pipeline(
     resume: bool = True,
     write_aggregates: bool = True,
     use_pandas_grok: bool = True,
+    single_pass_router: bool = True,
 ) -> PipelineReport:
     """Run the full pipeline over ``transcripts``; outputs under ``base_path``.
 
-    Idempotence contract: sink writes use dynamic partition overwrite keyed
-    by (day, bucket); completion events append with a run_id that the
-    manifest fold dedupes — so a crashed run re-executed with the same
-    inputs converges to the same state (X3/X9/X10 in SURVEY §4).
+    Idempotence contract: the routed write uses dynamic partition overwrite
+    keyed by (category, day, bucket); completion events append with a
+    run_id that the manifest fold dedupes — a crashed run re-executed on
+    the same inputs converges to the same state (X3/X9/X10 in SURVEY §4).
     """
     t0 = time.monotonic()
     run_id = run_id or new_run_id()
     manifest = ManifestStore(f"{base_path}/_manifest")
 
+    # Feed every core: compressed text inputs can collapse to very few read
+    # splits (json parse is CPU-bound, not IO-bound). No-op at real scale
+    # where inputs already carry >= cores partitions.
+    target = spark.sparkContext.defaultParallelism * 2
+    if transcripts.rdd.getNumPartitions() < target:
+        transcripts = transcripts.repartition(target)
+
     part_input = with_partition_cols(transcripts)
+    todo = manifest.pending(spark, part_input) if resume else part_input
+
     if resume:
-        todo = manifest.pending(spark, part_input)
+        # cheap pre-flight: which (day, bucket) partitions does this run
+        # own? (columnar scan of two small columns; no parse). Empty ->
+        # resume no-op without touching the parse kernel at all.
+        pend = todo.select("day", "bucket").distinct()
+        pending_parts = pend.collect()
+        if not pending_parts:
+            return PipelineReport(
+                run_id=run_id, rows_in=0, counts={}, sink_paths={},
+                elapsed_sec=time.monotonic() - t0, turns_per_sec=0.0,
+                resumed_partitions_skipped=True,
+            )
     else:
-        todo = part_input
+        pend = None
 
     parsed = parse_transcripts(todo, use_pandas_grok=use_pandas_grok)
     enriched = enrich_with_default_dims(parsed)
 
-    result: RouteResult = route(enriched, DEFAULT_SINKS, persist=True)
-    rows_in = result.parsed.count()
-    if rows_in == 0:
-        return PipelineReport(
-            run_id=run_id, rows_in=0, counts={}, sink_paths={},
-            elapsed_sec=time.monotonic() - t0, turns_per_sec=0.0,
-            resumed_partitions_skipped=True,
+    phases: dict[str, float] = {}
+    if single_pass_router:
+        # PASS 1: one partitioned write; no cache of the wide frame.
+        tp = time.monotonic()
+        sink_paths = write_sinks_single_pass(enriched, f"{base_path}/sinks")
+        phases["pass1_parse_route_write"] = round(time.monotonic() - tp, 2)
+        tp = time.monotonic()
+        routed_all = spark.read.parquet(f"{base_path}/sinks/routed")
+        # this run's slice = the partitions it owned (partition-pruned read)
+        routed = (
+            routed_all.join(F.broadcast(pend), on=["day", "bucket"],
+                            how="left_semi")
+            if pend is not None
+            else routed_all
         )
+        # PASS 2: cache only the slim column set every aggregate needs —
+        # one columnar scan feeds counts + 3 aggregates + manifest.
+        slim_cols = ["conv_id", "turn_idx", "role", "ts", "category",
+                     "tool_name", "tool_status", "tool_latency_ms",
+                     "day", "bucket"]
+        routed = routed.select(*slim_cols).persist()
+        by_cat = {
+            r["category"]: r["n"] for r in routed_counts(routed).collect()
+        }
+        phases["pass2_read_counts"] = round(time.monotonic() - tp, 2)
+        rows_in = sum(by_cat.values())
+        if rows_in == 0:
+            return PipelineReport(
+                run_id=run_id, rows_in=0, counts={}, sink_paths={},
+                elapsed_sec=time.monotonic() - t0, turns_per_sec=0.0,
+                resumed_partitions_skipped=True,
+            )
+        counts = _counts_from_by_cat(by_cat, DEFAULT_SINKS)
+        agg_source = routed
+    else:
+        result = route(enriched, DEFAULT_SINKS, persist=True)
+        rows_in = result.parsed.count()
+        if rows_in == 0:
+            return PipelineReport(
+                run_id=run_id, rows_in=0, counts={}, sink_paths={},
+                elapsed_sec=time.monotonic() - t0, turns_per_sec=0.0,
+                resumed_partitions_skipped=True,
+            )
+        counts = check_conservation(result.parsed, DEFAULT_SINKS)
+        sink_paths = write_sinks(result, f"{base_path}/sinks")
+        agg_source = result.parsed
 
-    counts = check_conservation(result.parsed, DEFAULT_SINKS)
-    sink_paths = write_sinks(result, f"{base_path}/sinks")
-
+    tp = time.monotonic()
     if write_aggregates:
-        conv_turn_counts(result.parsed).write.mode("overwrite").parquet(
+        conv_turn_counts(agg_source).write.mode("overwrite").parquet(
             f"{base_path}/agg/conv_turn_counts"
         )
-        per_tool_call_rates(result.parsed).write.mode("overwrite").parquet(
+        per_tool_call_rates(agg_source).write.mode("overwrite").parquet(
             f"{base_path}/agg/tool_rates"
         )
-        hourly_error_rollup(result.parsed).write.mode("overwrite").parquet(
+        hourly_error_rollup(agg_source).write.mode("overwrite").parquet(
             f"{base_path}/agg/hourly_errors"
         )
+    phases["aggregates"] = round(time.monotonic() - tp, 2)
 
-    manifest.append(completion_events(result.parsed, run_id))
-    result.parsed.unpersist()
+    tp = time.monotonic()
+    manifest.append(completion_events(with_partition_cols(agg_source), run_id))
+    phases["manifest"] = round(time.monotonic() - tp, 2)
+    agg_source.unpersist()
 
     elapsed = time.monotonic() - t0
     return PipelineReport(
@@ -119,4 +203,5 @@ def run_pipeline(
         sink_paths=sink_paths,
         elapsed_sec=elapsed,
         turns_per_sec=rows_in / elapsed if elapsed > 0 else 0.0,
+        extras={"phases": phases},
     )

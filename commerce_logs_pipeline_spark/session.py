@@ -49,9 +49,20 @@ def build_session(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    b = SparkSession.builder.appName(app_name)
+    if master.startswith("local"):
+        # In local mode the driver JVM hosts all executor threads; the 1g
+        # default heap GC-thrashes under 32 cores. Size it like the worker
+        # it stands in for. On a real cluster spark-submit sets this.
+        b = b.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     b = (
-        SparkSession.builder.appName(app_name)
+        b
         .config("spark.sql.session.timeZone", "UTC")
+        # exact-case field resolution: the raw-line superset schema carries
+        # both "Logs" (fmt1, extraction.go:8-11) and "logs" (apache dialect)
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing of small shuffle partitions + skew-join
         # splitting — the engine's replacement for the reference's static
@@ -66,6 +77,16 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Timestamps in parquet as int64 micros (portable to DuckDB oracle).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # JSON/regex parse is CPU-heavy per byte (snappy text compresses
+        # ~5x), so feed cores with smaller splits than the 128m default —
+        # otherwise a 51 MB compressed input parses on ONE task.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # task-side commit (v2): avoids the driver serially renaming
+        # thousands of partition-dir outputs after dynamic-partition writes
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .master(master)
     )
     if warehouse and iceberg_jar_available():

@@ -59,9 +59,11 @@ def test_pipeline_end_to_end_and_resume_noop(spark, tmp_path):
     assert rep2.resumed_partitions_skipped
 
     # sink outputs readable + row-accounting matches
+    from commerce_logs_pipeline_spark.operators.router import read_sink
+
     total_sink_rows = 0
     for name, path in rep1.sink_paths.items():
-        total_sink_rows += spark.read.parquet(path).count()
+        total_sink_rows += read_sink(spark, path).count()
     assert total_sink_rows == rep1.counts["total"] - rep1.counts["skipped"]
 
 
@@ -72,19 +74,23 @@ def test_crash_rerun_is_idempotent(spark, tmp_path):
     df = generate_transcripts(spark, 3_000, partitions=4)
 
     # "crashed" first attempt: sinks written, manifest never appended
-    from commerce_logs_pipeline_spark.operators.router import route, write_sinks
+    from commerce_logs_pipeline_spark.operators.router import (
+        write_sinks_single_pass,
+    )
     from commerce_logs_pipeline_spark.plans.enrich import enrich_with_default_dims
 
     parsed = enrich_with_default_dims(
         parse_transcripts(with_partition_cols(df))
     )
-    write_sinks(route(parsed, persist=False), f"{base}/sinks")
+    write_sinks_single_pass(parsed, f"{base}/sinks")
 
     # full rerun (resume sees nothing committed -> reprocesses everything)
     rep = run_pipeline(spark, df, base, run_id="runC")
     assert rep.rows_in == 3_000
 
-    http = spark.read.parquet(f"{base}/sinks/http_logs")
+    from commerce_logs_pipeline_spark.operators.router import read_sink
+
+    http = read_sink(spark, rep.sink_paths["http_logs"])
     expected = parsed.filter("category = 'http'").count()
     assert http.count() == expected  # dynamic overwrite -> no duplicates
 
