@@ -815,6 +815,42 @@ def q_transcript_tool_rates(spark, sf):
     return per_tool_call_rates(parse_transcripts(_transcripts(spark)))
 
 
+def q_expr_predicate(spark, sf):  # F8: arbitrary expression predicate via expr()
+    e = _t(spark, sf, "events")
+    return (
+        e.filter(F.expr("value > 100 AND event_type IN ('purchase', 'view')"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+SQL_EXPR_PREDICATE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+WHERE value > 100 AND event_type IN ('purchase', 'view')
+GROUP BY event_type
+"""
+
+
+def q_trace_assembly(spark, sf):  # designed correlator stage, realized
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+    from commerce_logs_pipeline_spark.plans.traces import assemble_traces
+
+    traces = assemble_traces(parse_transcripts(_transcripts(spark)))
+    return traces.groupBy("kind", "status_code_otel").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("trace_id").alias("n_traces"),
+    )
+
+
+def q_profile_fields(spark, sf):  # P-M field-frequency profiler
+    from commerce_logs_pipeline_spark.functions.profile import (
+        profile_json_fields,
+    )
+
+    return profile_json_fields(_transcripts(spark), "text", sample_rows=1000)
+
+
 def q_media_image_features(spark, sf):  # multimodal plumbing (stubbed decode)
     from commerce_logs_pipeline_spark.sources.multimodal import (
         extract_image_features,
@@ -860,6 +896,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_dups": (q_simhash_dups, None),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_dups_lsh": (q_embedding_dups_lsh, None),
+    "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
+    "trace_assembly": (q_trace_assembly, None),
+    "profile_json_fields": (q_profile_fields, None),
     "transcript_route_counts": (q_transcript_route_counts, None),
     "transcript_conv_counts": (q_transcript_conv_counts, None),
     "transcript_tool_rates": (q_transcript_tool_rates, None),

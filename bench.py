@@ -42,20 +42,24 @@ BENCH_QUERIES = [
     "embedding_topk_bruteforce",
 ]
 
-PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "1000000"))
+PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "4000000"))
+PIPELINE_DAYS = int(os.environ.get("SPARK_GRAFT_PIPELINE_DAYS", "6"))
 
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def prepare_pipeline_input(spark, turns: int, path: str) -> None:
+def prepare_pipeline_input(spark, turns: int, path: str,
+                           n_days: int = PIPELINE_DAYS) -> None:
     from commerce_logs_pipeline_spark.synth import generate_transcripts
 
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return
-    generate_transcripts(spark, turns).write.mode("overwrite").parquet(path)
+    generate_transcripts(spark, turns, n_days=n_days).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def main() -> int:
@@ -78,7 +82,7 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # --- transcript pipeline end-to-end (the authoritative metric) --------
-    input_path = f"/tmp/clp_bench_input_{PIPELINE_TURNS}"
+    input_path = f"/tmp/clp_bench_input_{PIPELINE_TURNS}_d{PIPELINE_DAYS}"
     prepare_pipeline_input(spark, PIPELINE_TURNS, input_path)
     transcripts = spark.read.parquet(input_path)
     out_path = f"/tmp/clp_bench_out_{cpus}_{int(time.time())}"

@@ -344,6 +344,21 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .withColumn("tool_args_bytes", F.col("_tool")["tool_args_bytes"])
         .withColumn("parse_error", parse_error_msg)
         .withColumn("error_type", error_type)
+        # Raw-line retention parity: extracted typed records do NOT carry
+        # the raw line (events/extraction.go:67-118 have no raw field);
+        # only the dead-letter record keeps it (ExtractionError.raw_line,
+        # extraction.go:136-151) and conversational turns whose content IS
+        # the text. Nulling the rest halves shuffle/sink bytes at scale.
+        .withColumn(
+            "text",
+            F.when(
+                F.col("category").isin(
+                    "error", "parse_error", "skipped",
+                    "user_turn", "assistant_turn",
+                ),
+                txt,
+            ),
+        )
         .drop("_f1", "_tool")
     )
     return parsed

@@ -76,6 +76,11 @@ class ManifestStore:
             F.max("updated_at").alias("updated_at"),
         )
 
+    def committed_runs(self, spark: SparkSession) -> DataFrame:
+        """Every committed (day, bucket, run_id) triple in the log —
+        the full snapshot lineage (incremental/streaming visibility)."""
+        return self._read_log(spark).select(*KEY, "run_id").dropDuplicates()
+
     def closed_partitions(self, spark: SparkSession) -> DataFrame:
         return self.current_state(spark).filter(F.col("status") == "closed").select(*KEY)
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parse import parse_transcripts
+from ..schemas import CATEGORIES
 from ..operators.router import (
     DEFAULT_SINKS,
     check_conservation,
@@ -102,12 +103,14 @@ def run_pipeline(
     run_id = run_id or new_run_id()
     manifest = ManifestStore(f"{base_path}/_manifest")
 
-    # Feed every core: compressed text inputs can collapse to very few read
-    # splits (json parse is CPU-bound, not IO-bound). No-op at real scale
-    # where inputs already carry >= cores partitions.
-    target = spark.sparkContext.defaultParallelism * 2
-    if transcripts.rdd.getNumPartitions() < target:
-        transcripts = transcripts.repartition(target)
+    # Feed and BALANCE every core: compressed text inputs can collapse to
+    # few read splits, and real inputs are Zipf-skewed by conversation —
+    # a round-robin repartition to 2x cores evens both (measured 2.3x
+    # faster parse at 32 cores on skewed 33-partition input). No-op-ish at
+    # real scale where inputs carry balanced >= 2x-cores partitions.
+    cores = spark.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < cores * 2:
+        transcripts = transcripts.repartition(cores * 2)
 
     part_input = with_partition_cols(transcripts)
     todo = manifest.pending(spark, part_input) if resume else part_input
@@ -132,28 +135,38 @@ def run_pipeline(
 
     phases: dict[str, float] = {}
     if single_pass_router:
-        # PASS 1: one partitioned write; no cache of the wide frame.
+        # PASS 1: one partitioned write into this run's snapshot dir, with
+        # router counts attached as OBSERVED METRICS on the same job (A4
+        # metrics-collector analog, factories.go:112-139) — zero extra
+        # jobs/scans for the conservation check.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"router_counts_{run_id}")
+        observed = enriched.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("category") == c, 1).otherwise(0)).alias(c)
+                for c in CATEGORIES
+            ],
+        )
         tp = time.monotonic()
-        sink_paths = write_sinks_single_pass(enriched, f"{base_path}/sinks")
+        sink_paths = write_sinks_single_pass(
+            observed, f"{base_path}/sinks", run_id=run_id
+        )
         phases["pass1_parse_route_write"] = round(time.monotonic() - tp, 2)
         tp = time.monotonic()
-        routed_all = spark.read.parquet(f"{base_path}/sinks/routed")
-        # this run's slice = the partitions it owned (partition-pruned read)
-        routed = (
-            routed_all.join(F.broadcast(pend), on=["day", "bucket"],
-                            how="left_semi")
-            if pend is not None
-            else routed_all
-        )
-        # PASS 2: cache only the slim column set every aggregate needs —
-        # one columnar scan feeds counts + 3 aggregates + manifest.
+        by_cat = {c: n for c, n in obs.get.items() if n}
+        # PASS 2: aggregates + manifest read only the slim column set from
+        # this run's snapshot dir (no manifest needed for our own data).
         slim_cols = ["conv_id", "turn_idx", "role", "ts", "category",
                      "tool_name", "tool_status", "tool_latency_ms",
                      "day", "bucket"]
-        routed = routed.select(*slim_cols).persist()
-        by_cat = {
-            r["category"]: r["n"] for r in routed_counts(routed).collect()
-        }
+        routed = (
+            spark.read.option("basePath", f"{base_path}/sinks/routed")
+            .parquet(f"{base_path}/sinks/routed/runid={run_id}")
+            .select(*slim_cols)
+            .persist()
+        )
         phases["pass2_read_counts"] = round(time.monotonic() - tp, 2)
         rows_in = sum(by_cat.values())
         if rows_in == 0:

@@ -57,6 +57,14 @@ def build_session(
         b = b.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
+        # Shuffle/spill scratch: this sandbox's /tmp sits on a
+        # burst-credit cloud disk with wildly variable throughput; tmpfs
+        # is the stand-in for a cluster node's local NVMe.
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            b = b.config("spark.local.dir", local_dir)
     b = (
         b
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,187 @@
+"""Structured Streaming face of the engine (SURVEY §2.8 T1-T6).
+
+Reference parity (/root/reference):
+- T2 polling/micro-batch: blob-monitor ticks every 300 s
+  (blob-monitor/internal/service/service.go:278-299) -> file-source
+  micro-batches with a processingTime/availableNow trigger.
+- T1 inactivity close: a blob "closes" after 5 idle minutes
+  (blob_closing_processor.go:68-92) -> ``session_window`` gap windows, and
+  a custom stateful operator (conversation_close_stream) built on
+  applyInPandasWithState with an event-time timeout.
+- T3 late data: 60-min EOD overlap rescan (service.go:302-328) ->
+  ``withWatermark`` bounded lateness.
+- T4 resumable offsets + at-least-once + idempotent keys
+  (worker.go:416-509) -> checkpointLocation + foreachBatch writing with
+  dynamic partition overwrite (replays converge; same discipline as the
+  batch lineage manifest).
+- T6 stateful fold (blob_state_processor.go:50-96) -> the same fold runs
+  in foreachBatch via the batch ManifestStore, keeping one code path.
+
+Scale notes: the streaming plan shares the batch parse/enrich/route
+functions verbatim — foreachBatch hands each micro-batch to the identical
+single-pass router, so throughput characteristics and sink layout match
+the batch engine exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.parse import parse_transcripts
+from ..operators.router import write_sinks_single_pass
+from ..plans.checkpoint import ManifestStore, completion_events, new_run_id
+from ..plans.enrich import enrich_with_default_dims
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def stream_transcripts(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a transcript parquet directory — the
+    blob-monitor discovery loop (S1/T2) as a Spark source."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    base_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming parse -> enrich -> route with per-batch manifest commits.
+
+    foreachBatch reuses the batch single-pass router, so each micro-batch
+    is one idempotent dynamic-partition write + one manifest append —
+    at-least-once delivery with idempotent replay (T4).
+    """
+    stream = stream_transcripts(spark, input_path)
+    manifest = ManifestStore(f"{base_path}/_manifest")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.router import with_partition_cols
+
+        parsed = enrich_with_default_dims(
+            parse_transcripts(with_partition_cols(batch_df))
+        )
+        # each micro-batch writes its own runid=batch-N snapshot dir;
+        # batch_id is STABLE across foreachBatch replays, so a replayed
+        # batch statically overwrites its own dir and the manifest append
+        # dedupes on the same run_id — exactly-once effect from
+        # at-least-once delivery (T4; trace-model.md:50-57 discipline)
+        run_id = f"batch-{batch_id}"
+        write_sinks_single_pass(parsed, f"{base_path}/sinks", run_id=run_id)
+        manifest.append(
+            completion_events(parsed, run_id=run_id, status="open")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def streaming_hourly_counts(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts (T3 late-data handling)."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour"), "role")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def streaming_session_close(
+    stream: DataFrame, gap: str = "5 minutes", lateness: str = "10 minutes"
+) -> DataFrame:
+    """T1 blob-close analog: a conversation session closes after ``gap``
+    of inactivity; emits one row per closed session via session_window."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "last_turn_idx",
+        )
+    )
+
+
+# --- custom stateful operator: conversation state machine (T6) -------------
+CONV_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # open|closed
+        T.StructField("total_turns", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), True),
+    ]
+)
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_turns", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), True),
+    ]
+)
+
+
+def conversation_state_stream(stream: DataFrame, timeout_ms: int = 300_000):
+    """Running per-conversation fold with inactivity timeout — the
+    BlobState processor (blob_state_processor.go:50-96 + closing processor
+    :68-92) as an applyInPandasWithState operator. Emits an updated 'open'
+    row per batch a conversation appears in, and a terminal 'closed' row
+    when the processing-time timeout fires.
+    """
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            total, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "status": "closed",
+                  "total_turns": total, "max_turn_idx": mx}]
+            )
+            return
+        total, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            total += len(pdf)
+            batch_max = int(pdf["turn_idx"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((total, mx))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "status": "open",
+              "total_turns": total, "max_turn_idx": mx}]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fold,
+        outputStructType=CONV_STATE_OUTPUT,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

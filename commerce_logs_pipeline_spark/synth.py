@@ -72,8 +72,15 @@ def generate_transcripts(
     n_convs: int | None = None,
     skew: float = 2.5,
     partitions: int | None = None,
+    n_days: int = 30,
 ) -> DataFrame:
-    """Return a deterministic transcript DataFrame of ``n_turns`` rows."""
+    """Return a deterministic transcript DataFrame of ``n_turns`` rows.
+
+    ``n_days`` controls the ts span (and thus the day-partition count of
+    downstream sinks) — size it to the data volume so partition dirs stay
+    meaningful (a 10^12-turn table wants daily partitions; a 1M-row bench
+    input wants a handful).
+    """
     if n_convs is None:
         n_convs = max(1, n_turns // 40)
     df = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
@@ -217,7 +224,7 @@ def generate_transcripts(
     # conversations interleaved/out-of-order relative to each other.
     ts = F.timestamp_seconds(
         F.lit(1_704_067_200)  # 2024-01-01T00:00:00Z
-        + (F.col("conv_num") % 30) * 86_400
+        + (F.col("conv_num") % n_days) * 86_400
         + (_mix(F.col("conv_num"), 19) % 43_200)
         + F.col("turn_idx") * 7
     )

@@ -88,14 +88,29 @@ def test_crash_rerun_is_idempotent(spark, tmp_path):
     rep = run_pipeline(spark, df, base, run_id="runC")
     assert rep.rows_in == 3_000
 
-    from commerce_logs_pipeline_spark.operators.router import read_sink
+    from commerce_logs_pipeline_spark.operators.router import (
+        read_routed,
+        read_sink,
+        vacuum_uncommitted,
+    )
 
     http = read_sink(spark, rep.sink_paths["http_logs"])
     expected = parsed.filter("category = 'http'").count()
-    assert http.count() == expected  # dynamic overwrite -> no duplicates
+    assert http.count() == expected
 
     # every row still unique by (conv_id, turn_idx)
     assert http.select("conv_id", "turn_idx").distinct().count() == http.count()
+
+    # authoritative snapshot read: the crashed (uncommitted) run dir is
+    # invisible; exactly one copy of every row
+    auth = read_routed(spark, base)
+    assert auth.count() == 3_000
+    assert auth.select("conv_id", "turn_idx").distinct().count() == 3_000
+
+    # vacuum removes exactly the orphaned crashed run dir
+    removed = vacuum_uncommitted(spark, base)
+    assert len(removed) == 1 and "runid=run0" in removed[0]
+    assert read_routed(spark, base).count() == 3_000
 
 
 def test_partial_progress_resume(spark, tmp_path):

@@ -1,0 +1,135 @@
+"""Structured Streaming tests (T1-T6 semantics) — all with availableNow
+triggers so they terminate deterministically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+    conversation_state_stream,
+    run_streaming_pipeline,
+    stream_transcripts,
+    streaming_hourly_counts,
+    streaming_session_close,
+)
+from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    generate_transcripts(spark, 4_000, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_streaming_pipeline_matches_batch_counts(spark, input_dir, tmp_path):
+    base = str(tmp_path / "stream_out")
+    q = run_streaming_pipeline(
+        spark, input_dir, base, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    routed = spark.read.parquet(f"{base}/sinks/routed")
+    assert routed.count() == 4_000
+    # per-category counts equal the batch engine's on the same input
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+
+    batch = parse_transcripts(spark.read.parquet(input_dir))
+    batch_counts = {
+        r.category: r.n
+        for r in batch.groupBy("category").agg(F.count("*").alias("n")).collect()
+    }
+    stream_counts = {
+        r.category: r.n
+        for r in routed.groupBy("category").agg(F.count("*").alias("n")).collect()
+    }
+    assert stream_counts == batch_counts
+    # manifest recorded progress
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+
+    state = ManifestStore(f"{base}/_manifest").current_state(spark)
+    assert state.agg(F.sum("rows_processed")).collect()[0][0] == 4_000
+
+
+def test_streaming_restart_is_noop_after_drain(spark, input_dir, tmp_path):
+    base = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_pipeline(spark, input_dir, base, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{base}/sinks/routed").count()
+    # restart with same checkpoint: no new files -> no duplicate appends
+    q2 = run_streaming_pipeline(spark, input_dir, base, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(f"{base}/sinks/routed").count()
+    assert n1 == n2 == 4_000
+
+
+def test_streaming_session_close(spark, input_dir, tmp_path):
+    stream = stream_transcripts(spark, input_dir)
+    sessions = streaming_session_close(stream, gap="5 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from sessions_t")
+    assert out.count() > 0
+    # sessions respect the ordering invariant: last_turn_idx < n_turns only
+    # if turns are missing from the window -- per conv totals must match
+    totals = out.groupBy("conv_id").agg(F.sum("n_turns").alias("n"))
+    src = spark.read.parquet(input_dir).groupBy("conv_id").agg(
+        F.count("*").alias("n")
+    )
+    mism = (
+        totals.withColumnRenamed("n", "a")
+        .join(src.withColumnRenamed("n", "b"), "conv_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_streaming_hourly_counts(spark, input_dir, tmp_path):
+    stream = stream_transcripts(spark, input_dir)
+    agg = streaming_hourly_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from hourly_t")
+    assert out.agg(F.sum("n")).collect()[0][0] == 4_000
+
+
+def test_conversation_state_stream(spark, input_dir, tmp_path):
+    stream = stream_transcripts(spark, input_dir)
+    states = conversation_state_stream(stream, timeout_ms=60_000)
+    q = (
+        states.writeStream.format("memory")
+        .queryName("conv_state_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(
+        "select conv_id, max(total_turns) as total from conv_state_t group by conv_id"
+    )
+    src = spark.read.parquet(input_dir).groupBy("conv_id").agg(
+        F.count("*").alias("n")
+    )
+    mism = (
+        out.join(src, "conv_id").filter(F.col("total") != F.col("n")).count()
+    )
+    assert mism == 0

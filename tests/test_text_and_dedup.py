@@ -1,0 +1,153 @@
+"""Text-analysis + dedup/similarity operator tests (training-data surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.functions import text as TX
+from commerce_logs_pipeline_spark.functions.similarity import (
+    cosine,
+    hamming64,
+    jaccard,
+    simhash64,
+)
+from commerce_logs_pipeline_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "THE  Quick   brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "completely different content about spark engines and joins"),
+        (4, "el perro come la comida que le gusta de la casa"),
+        (5, "der hund und die katze sind nicht da"),
+        (6, ""),
+        (7, "le chat et le chien est dans les maisons"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 9
+    assert got[2] == 9  # multi-space collapsed
+    assert got[6] == 0  # empty -> 0
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[4] == "es"
+    assert got[5] == "de"
+    assert got[7] == "fr"
+    assert got[6] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r.doc_id: r.h for r in docs.select(
+        "doc_id", TX.content_md5(F.col("text")).alias("h")).collect()}
+    assert fp[0] == fp[2]  # case/whitespace-insensitive
+    assert fp[0] != fp[1]
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == docs.count() - 1  # doc 2 collapses into doc 0
+    assert kept.filter("doc_id = 2").count() == 0
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 2) in got  # identical after normalization -> jaccard 1.0
+    assert (0, 1) in got  # near-dup
+    for r in pairs:
+        if (r.id_a, r.id_b) == (0, 2):
+            assert r.jaccard == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, verify_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 2) in got  # identical docs always share all bands
+    # LSH candidates must be a subset of true-jaccard pairs (verify step)
+    truth = {(r.id_a, r.id_b)
+             for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert got <= truth
+
+
+def test_simhash_identical_and_hamming(spark, docs):
+    fp = docs.select(
+        "doc_id", simhash64(TX.tokens(F.lower(F.col("text")))).alias("fp")
+    )
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[0] == vals[2]
+    pairs = dedup.simhash_dups(docs, max_hamming=10).collect()
+    assert (0, 2) in {(r.id_a, r.id_b) for r in pairs}
+    # hamming of identical fingerprints is 0
+    two = fp.filter("doc_id in (0, 2)").collect()
+    assert two[0].fp == two[1].fp
+
+
+def test_cosine_and_jaccard_columns(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0], ["a", "b"], ["b", "c"])],
+        "a array<double>, b array<double>, s1 array<string>, s2 array<string>",
+    )
+    r = df.select(
+        F.round(cosine(F.col("a"), F.col("b")), 6).alias("cos"),
+        F.round(jaccard(F.col("s1"), F.col("s2")), 4).alias("j"),
+    ).collect()[0]
+    assert r.cos == 1.0
+    assert r.j == round(1 / 3, 4)
+
+
+def test_brute_force_topk_correctness(spark):
+    import math
+
+    # vectors on a circle: nearest neighbors are adjacent angles
+    rows = [
+        (i, [math.cos(i * 0.3), math.sin(i * 0.3)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    topk = ann.brute_force_topk(df, df.filter("vec_id = 5"), k=2)
+    got = {r.neighbor_id for r in topk.collect()}
+    assert got == {4, 6}
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.17), math.sin(i * 0.17), 0.1 * (i % 3), 0.05 * i])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    exact = ann.brute_force_topk(df, q, k=3)
+    approx = ann.lsh_topk(df, q, k=3, n_planes=4)
+    # approximate results are valid (query, neighbor, cos) triples drawn
+    # from the same scored space: every approx cos must be <= exact best
+    emax: dict[int, float] = {}
+    for r in exact.collect():
+        emax[r.query_id] = max(emax.get(r.query_id, -2.0), r.cos)
+    for r in approx.collect():
+        assert r.cos <= emax[r.query_id] + 1e-9
+
+
+def test_hamming64_column(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
+
+
+def test_quality_score_range(spark, parsed_10k):
+    # quality over transcript text column: always within [0, 1]
+    q = parsed_10k.select(TX.quality_score(F.col("text")).alias("q"))
+    bad = q.filter((F.col("q") < 0) | (F.col("q") > 1)).count()
+    assert bad == 0

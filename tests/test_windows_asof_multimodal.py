@@ -1,0 +1,131 @@
+"""Window/top-k/session/as-of/multimodal operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.operators import asof, windows
+from commerce_logs_pipeline_spark.sources.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def test_topk_two_phase_equals_window(spark):
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 100)) for g in ["a", "b", "c"] for i in range(50)],
+        "grp string, id int, score double",
+    )
+    a = windows.topk_per_group(df, ["grp"], "score", 5, tiebreak="id",
+                               two_phase=True)
+    b = windows.topk_per_group(df, ["grp"], "score", 5, tiebreak="id",
+                               two_phase=False)
+    cols = ["grp", "id", "score"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    assert a.count() == 15
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        ("u1", _ts(0)), ("u1", _ts(100)), ("u1", _ts(500)),  # gap 400 > 300
+        ("u1", _ts(600)), ("u2", _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    s = windows.sessionize(df, "user", "ts", gap_seconds=300)
+    got = {(r.user, r.ts.second + r.ts.minute * 60 + r.ts.hour * 3600): r.session_id
+           for r in s.collect()}
+    assert got[("u1", 0)] == 1 and got[("u1", 100)] == 1
+    assert got[("u1", 500)] == 2 and got[("u1", 600)] == 2
+    assert got[("u2", 0)] == 1
+
+    stats = windows.session_stats(df, "user", "ts", 300).collect()
+    by_key = {(r.user, r.session_id): r for r in stats}
+    assert by_key[("u1", 1)].n_events == 2
+    assert by_key[("u1", 2)].duration_sec == 100
+
+
+def test_range_correlate_exact_window(spark):
+    left = spark.createDataFrame(
+        [("k", 1, _ts(1000))], "key string, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, _ts(940)), ("k", 11, _ts(1060)), ("k", 12, _ts(1061)),
+         ("k", 13, _ts(939)), ("x", 14, _ts(1000))],
+        "key string, rid int, rts timestamp",
+    )
+    out = asof.range_correlate(left, right, ["key"], "ts", "rts",
+                               tolerance_sec=60)
+    got = sorted(r.rid for r in out.collect())
+    assert got == [10, 11]  # exactly within +-60s, same key only
+
+
+def test_asof_backward_nearest(spark):
+    left = spark.createDataFrame(
+        [("k", 1, _ts(1000)), ("k", 2, _ts(2000))],
+        "key string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, _ts(900)), ("k", 11, _ts(990)), ("k", 12, _ts(1500))],
+        "key string, rid int, rts timestamp",
+    )
+    out = asof.asof_join(left, right, ["key"], "ts", "rts",
+                         tolerance_sec=600, direction="backward",
+                         tiebreak=["rid"])
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {1: 11, 2: 12}  # nearest at-or-before within tolerance
+
+
+def test_latest_per_key_generic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 1, "w")],
+        "k string, v int, payload string",
+    )
+    out = windows.latest_per_key(df, ["k"], [F.desc("v")])
+    got = {r.k: r.payload for r in out.collect()}
+    assert got == {"a": "y", "b": "w"}
+
+
+def test_paginate(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id int")
+    got = [r.id for r in windows.paginate(df, [F.asc("id")], 10, 5).collect()]
+    assert got == [10, 11, 12, 13, 14]
+
+
+def test_multimodal_image_features(spark):
+    media = synth_media(spark, 48)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 16  # every 3rd synthetic row is an image
+    for r in rows:
+        assert len(r.content_sha) == 64
+        assert r.n_bytes > 0
+        assert 0 <= r.feat_mean <= 255
+        assert (r.resized_w, r.resized_h) == (224, 224)
+    # deterministic: same input -> same features
+    again = {r.media_id: r.feat_mean for r in extract_image_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feat_mean
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
+    per_video = {}
+    for r in rows:
+        per_video.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    durations = {r.media_id: r.duration_ms for r in media.filter(
+        "kind = 'video'").collect()}
+    for mid, ts_list in per_video.items():
+        assert len(ts_list) == durations[mid] // 1000 + 1
