@@ -82,7 +82,7 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # --- transcript pipeline end-to-end (the authoritative metric) --------
-    input_path = f"/tmp/clp_bench_input_{PIPELINE_TURNS}_d{PIPELINE_DAYS}"
+    input_path = f"/dev/shm/clp_bench_input_{PIPELINE_TURNS}_d{PIPELINE_DAYS}"
     prepare_pipeline_input(spark, PIPELINE_TURNS, input_path)
     transcripts = spark.read.parquet(input_path)
     out_path = f"/tmp/clp_bench_out_{cpus}_{int(time.time())}"
