@@ -786,12 +786,74 @@ def q_embedding_dups_lsh(spark, sf):  # rows-only: Spark-native hyperplanes
 
 
 # ---------------------------------------------------------------------------
-# Transcript pipeline (flagship; rows-only — synthesized input, no view)
+# Transcript pipeline (flagship). The corpus is synthesized with the
+# PORTABLE generator (md5-derived mixing, integer-exact skew) so DuckDB can
+# re-derive every per-row value from the construction logic: the oracle does
+# NOT parse JSON — it recomputes the ground-truth category/status/latency of
+# each row directly, making these true end-to-end checks of the Spark
+# construct->parse->route->aggregate path.
 # ---------------------------------------------------------------------------
-def _transcripts(spark, n=20_000):
+_TN = 20_000
+_TN_CONVS = _TN // 40
+_TK_DIV = 10**18 // _TN_CONVS
+
+
+def _transcripts(spark, n=_TN):
     from commerce_logs_pipeline_spark.synth import generate_transcripts
 
-    return generate_transcripts(spark, n)
+    return generate_transcripts(spark, n, portable=True)
+
+
+def _pm(salt: int, expr: str = "i") -> str:
+    """DuckDB replica of synth's portable mix (md5 -> 15 hex -> int)."""
+    return (
+        f"CAST(('0x' || substring(md5('{salt}:' || {expr}::VARCHAR), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+def _sql_list(xs) -> str:
+    return "[" + ",".join(f"'{x}'" if isinstance(x, str) else str(x) for x in xs) + "]"
+
+
+def _sql_transcript_base() -> str:
+    """Shared CTE: per-row ground truth for the portable transcript corpus.
+
+    Mirrors synth.generate_transcripts(portable=True) branch-for-branch:
+    dialect selector d, quadratic-skew conv assignment, and the category
+    each text payload must route to after parsing.
+    """
+    from commerce_logs_pipeline_spark.synth import LEVELS, STATUS, TOOLS
+
+    return f"""
+WITH g AS (
+    SELECT i,
+           {_pm(2)} % 1000 AS d,
+           {_pm(1)} % 1000000000 AS m,
+           ({_sql_list(LEVELS)})[{_pm(8)} % {len(LEVELS)} + 1] AS level,
+           ({_sql_list(TOOLS)})[{_pm(9)} % {len(TOOLS)} + 1] AS tool_name,
+           ({_sql_list(STATUS)})[{_pm(3)} % {len(STATUS)} + 1] AS status,
+           {_pm(10)} % 500 AS latency,
+           {_pm(11)} % 100000 AS nbytes,
+           (['user','assistant'])[{_pm(17)} % 2 + 1] AS chat_role
+    FROM generate_series(0, {_TN - 1}) AS s(i)
+), base AS (
+    SELECT i, d, status, latency, nbytes, tool_name,
+           least({_TN_CONVS - 1}, (m * m) // {_TK_DIV}) AS conv_num,
+           CASE WHEN d < 250 THEN 'http'
+                WHEN d < 450 THEN 'proxy'
+                WHEN d < 650 THEN
+                    CASE WHEN level = 'ERROR' THEN 'error' ELSE 'app' END
+                WHEN d < 800 THEN 'container'
+                WHEN d < 900 THEN 'tool_call'
+                WHEN d < 955 THEN
+                    CASE WHEN chat_role = 'user' THEN 'user_turn'
+                         ELSE 'assistant_turn' END
+                WHEN d < 994 THEN 'skipped'
+                ELSE 'parse_error' END AS category
+    FROM g
+)
+"""
 
 
 def q_transcript_route_counts(spark, sf):
@@ -802,10 +864,41 @@ def q_transcript_route_counts(spark, sf):
     )
 
 
+def _sql_route_counts() -> str:
+    return (
+        _sql_transcript_base()
+        + "SELECT category, count(*) AS n FROM base GROUP BY category"
+    )
+
+
 def q_transcript_conv_counts(spark, sf):
     from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
 
     return conv_turn_counts_salted(parse_transcripts(_transcripts(spark)))
+
+
+def _sql_conv_counts() -> str:
+    return _sql_transcript_base() + f""", seq AS (
+    SELECT conv_num, category,
+           row_number() OVER (PARTITION BY conv_num ORDER BY i) - 1 AS turn_idx
+    FROM base
+), t AS (
+    SELECT 'conv-' || lpad(conv_num::VARCHAR, 8, '0') AS conv_id,
+           category, turn_idx,
+           make_timestamp((1704067200 + (conv_num % 30) * 86400
+                           + {_pm(19, "conv_num")} % 43200
+                           + turn_idx * 7) * 1000000) AS ts
+    FROM seq
+)
+SELECT conv_id, count(*) AS n_turns,
+       max(turn_idx) AS max_turn_idx,
+       CAST(sum(CASE WHEN category IN ('error','parse_error') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN category = 'tool_call' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM t GROUP BY conv_id
+"""
 
 
 def q_transcript_tool_rates(spark, sf):
@@ -813,6 +906,58 @@ def q_transcript_tool_rates(spark, sf):
     from commerce_logs_pipeline_spark.plans.aggregate import per_tool_call_rates
 
     return per_tool_call_rates(parse_transcripts(_transcripts(spark)))
+
+
+def _sql_tool_rates() -> str:
+    return _sql_transcript_base() + """
+SELECT tool_name, count(*) AS calls,
+       round(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS error_rate,
+       round(avg(latency), 2) AS avg_latency_ms,
+       max(latency) AS p100_latency_ms
+FROM base WHERE category = 'tool_call' GROUP BY tool_name
+"""
+
+
+def q_transcript_status_class(spark, sf):
+    """P-H oracle: the '-'->0 coercion, dynamic-typed statusCode, and the
+    skip-rows-still-carry-status subtlety are all value-checked here."""
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+    from commerce_logs_pipeline_spark.plans.aggregate import status_class_rollup
+
+    return status_class_rollup(parse_transcripts(_transcripts(spark)))
+
+
+def _sql_status_class() -> str:
+    # Ground truth per synth branch: http (d<250) carries status/nbytes/
+    # latency; apache proxy (250<=d<450) has bytes '-'->0 when d%7=0; the
+    # skip-rule rows (dash 970-979, rtsp 980-987, method 988-993) parse as
+    # category 'skipped' but their context/status fields still coerce.
+    return _sql_transcript_base() + """, coerced AS (
+    SELECT category,
+           CASE WHEN d < 450 THEN status
+                WHEN d >= 970 AND d < 980 THEN 400
+                WHEN d >= 980 AND d < 988 THEN 454
+                WHEN d >= 988 AND d < 994 THEN 401
+                END AS status_code,
+           CASE WHEN d < 250 THEN nbytes
+                WHEN d < 450 THEN CASE WHEN d % 7 = 0 THEN 0 ELSE nbytes END
+                WHEN d >= 970 AND d < 994 THEN 0
+                END AS bytes_sent,
+           CASE WHEN d < 450 THEN latency
+                WHEN d >= 970 AND d < 988 THEN 0
+                WHEN d >= 988 AND d < 994 THEN 1
+                END AS response_time_ms
+    FROM base
+)
+SELECT category,
+       (status_code // 100)::VARCHAR || 'xx' AS status_class,
+       count(*) AS n,
+       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+       round(avg(response_time_ms), 2) AS avg_response_ms
+FROM coerced WHERE status_code IS NOT NULL
+GROUP BY category, status_class
+"""
 
 
 def q_expr_predicate(spark, sf):  # F8: arbitrary expression predicate via expr()
@@ -899,9 +1044,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
     "trace_assembly": (q_trace_assembly, None),
     "profile_json_fields": (q_profile_fields, None),
-    "transcript_route_counts": (q_transcript_route_counts, None),
-    "transcript_conv_counts": (q_transcript_conv_counts, None),
-    "transcript_tool_rates": (q_transcript_tool_rates, None),
+    "transcript_route_counts": (q_transcript_route_counts, _sql_route_counts()),
+    "transcript_conv_counts": (q_transcript_conv_counts, _sql_conv_counts()),
+    "transcript_tool_rates": (q_transcript_tool_rates, _sql_tool_rates()),
+    "transcript_status_class": (q_transcript_status_class, _sql_status_class()),
     "media_image_features": (q_media_image_features, None),
 }
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..schemas import MERGED_RAW_SCHEMA
+from ..schemas import FMT1_SCHEMA, FMT2_SCHEMA
 
 # extractor.go:29
 REQUEST_LINE_RX = r"^([A-Z_]+)\s+([^\s]+)\s+([A-Z]+)/[\d.]+$"
@@ -164,9 +164,19 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     is_blank = txt.isNull() | txt.rlike(r"^\s*$")
     json_like = F.regexp_replace(txt, r"^\s+", "").startswith("{")
 
-    merged = F.from_json(
-        txt, MERGED_RAW_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
+    # Two schema-on-read passes, one per wire format (extractor.go:42-66
+    # try-fmt1-else-fmt2). Kept as SEPARATE from_json calls so "Logs" (fmt1)
+    # and "logs" (apache) never share a struct — field access by name would
+    # be AMBIGUOUS_REFERENCE_TO_FIELDS under default spark.sql.caseSensitive
+    # =false. Both parses are gated on the json_like prefilter so non-JSON
+    # turns (tool calls, conversational text) skip the JSON kernel entirely.
+    fmt1 = F.when(
+        json_like,
+        F.from_json(
+            txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
+        ),
     )
+    fmt2 = F.when(json_like, F.from_json(txt, FMT2_SCHEMA))
 
     if use_pandas_grok:
         tool_struct = grok_udf(TOOL_CALL_PATTERN)(txt)
@@ -182,9 +192,13 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
             .cast("long").alias("tool_args_bytes"),
         )
 
-    df = df.withColumn("_f1", merged).withColumn("_tool", tool_struct)
+    df = (
+        df.withColumn("_f1", fmt1)
+        .withColumn("_f2", fmt2)
+        .withColumn("_tool", tool_struct)
+    )
     f1 = F.col("_f1")
-    f2 = F.col("_f1")
+    f2 = F.col("_f2")
     logs1 = f1["Logs"]
     ctx = logs1["contextMap"]
     apache = f2["logs"]
@@ -359,6 +373,6 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
                 txt,
             ),
         )
-        .drop("_f1", "_tool")
+        .drop("_f1", "_f2", "_tool")
     )
     return parsed

@@ -106,24 +106,11 @@ FMT2_SCHEMA = T.StructType(
     ]
 )
 
-# Merged superset: ONE from_json pass sniffs both wire formats (the Go
-# parser's try-fmt1-else-fmt2 at extractor.go:42-66 becomes field-presence
-# dispatch). "Logs" (fmt1) and "logs" (apache) coexist: JSON field matching
-# is byte-exact even with spark.sql.caseSensitive=false.
-MERGED_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("Logs", RAW_LOGS_FMT1, True),
-        T.StructField("logs", RAW_LOGS_APACHE, True),
-        T.StructField("@timestamp", T.StringType(), True),
-        T.StructField("time", T.StringType(), True),
-        T.StructField("stream", T.StringType(), True),
-        T.StructField("log", T.StringType(), True),
-        T.StructField("_p", T.StringType(), True),
-        T.StructField("record_date", T.StringType(), True),
-        T.StructField("kubernetes", RAW_KUBERNETES, True),
-        T.StructField("_corrupt_record", T.StringType(), True),
-    ]
-)
+# NOTE: the two wire formats are parsed with SEPARATE from_json passes
+# (functions/parse.py). A merged superset struct would carry both "Logs"
+# (fmt1) and "logs" (apache); field access by name on such a struct is
+# AMBIGUOUS_REFERENCE_TO_FIELDS under the default spark.sql.caseSensitive
+# =false, so no merged schema exists on purpose.
 
 # ---------------------------------------------------------------------------
 # Typed outputs — one superset "parsed" frame with a category discriminator

@@ -44,13 +44,20 @@ def build_session(
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
     same entry point serves tests, bench at N cores, and bench at 4N cores.
-    On a real cluster, pass master=None with spark-submit providing it.
+    On a real cluster, pass master=None: spark-submit's --master (visible as
+    ``spark.master`` in the loaded defaults) wins and we never override it.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        from pyspark import SparkConf
+
+        # spark-submit/--master lands in the JVM system properties, which
+        # SparkConf(loadDefaults=True) reads. Only synthesize a local master
+        # when nothing provided one — never stomp a cluster submit.
+        if not SparkConf(loadDefaults=True).contains("spark.master"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
     b = SparkSession.builder.appName(app_name)
-    if master.startswith("local"):
+    if master is not None and master.startswith("local"):
         # In local mode the driver JVM hosts all executor threads; the 1g
         # default heap GC-thrashes under 32 cores. Size it like the worker
         # it stands in for. On a real cluster spark-submit sets this.
@@ -68,9 +75,6 @@ def build_session(
     b = (
         b
         .config("spark.sql.session.timeZone", "UTC")
-        # exact-case field resolution: the raw-line superset schema carries
-        # both "Logs" (fmt1, extraction.go:8-11) and "logs" (apache dialect)
-        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing of small shuffle partitions + skew-join
         # splitting — the engine's replacement for the reference's static
@@ -95,8 +99,9 @@ def build_session(
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
         )
-        .master(master)
     )
+    if master is not None:
+        b = b.master(master)
     if warehouse and iceberg_jar_available():
         b = (
             b.config(

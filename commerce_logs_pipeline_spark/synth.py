@@ -73,6 +73,7 @@ def generate_transcripts(
     skew: float = 2.5,
     partitions: int | None = None,
     n_days: int = 30,
+    portable: bool = False,
 ) -> DataFrame:
     """Return a deterministic transcript DataFrame of ``n_turns`` rows.
 
@@ -80,16 +81,53 @@ def generate_transcripts(
     downstream sinks) — size it to the data volume so partition dirs stay
     meaningful (a 10^12-turn table wants daily partitions; a 1M-row bench
     input wants a handful).
+
+    ``portable=True`` swaps the xxhash64 row mixer for an md5-derived one
+    (md5 -> first 15 hex digits -> int) and the float-pow Zipf assignment
+    for exact integer math, so an external SQL engine (the driver's DuckDB
+    oracle) can reproduce every generated value bit-for-bit. Slower —
+    reserve it for oracle-checked corpora; bench/tests use the default.
     """
     if n_convs is None:
         n_convs = max(1, n_turns // 40)
     df = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
 
-    # Zipf-ish conversation assignment: u^skew concentrates mass near conv 0
-    # (hot conversations) — exercises salting/AQE skew paths.
-    u = _uniform(i, 1)
-    conv_num = F.floor(F.pow(u, F.lit(skew)) * F.lit(n_convs)).cast("long")
+    if portable:
+        def mix(col: Column, salt: int) -> Column:
+            # md5-derived 60-bit int: reproducible in DuckDB as
+            # CAST(('0x' || substring(md5('{salt}:' || x), 1, 15)) AS BIGINT)
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+    else:
+        def mix(col: Column, salt: int) -> Column:
+            return _mix(col, salt)
+
+    def pick(arr: list, col: Column, salt: int) -> Column:
+        a = F.array(*[F.lit(x) for x in arr])
+        return F.element_at(a, (mix(col, salt) % len(arr) + 1).cast("int"))
+
+    if portable:
+        # Quadratic-skew conversation assignment in EXACT integer math
+        # (float pow() may differ by 1 ulp between JVM and other engines,
+        # flipping floor() at bucket boundaries): m in [0, 1e9),
+        # conv = (m*m) DIV (1e18 div n_convs)  ~  floor((m/1e9)^2 * n_convs)
+        m = mix(i, 1) % F.lit(1_000_000_000)
+        k_div = 10**18 // n_convs
+        df = df.withColumn("_mm", m * m)
+        conv_num = F.least(
+            F.lit(n_convs - 1).cast("long"), F.expr(f"_mm DIV {k_div}")
+        )
+    else:
+        # Zipf-ish conversation assignment: u^skew concentrates mass near
+        # conv 0 (hot conversations) — exercises salting/AQE skew paths.
+        u = _uniform(i, 1)
+        conv_num = F.floor(F.pow(u, F.lit(skew)) * F.lit(n_convs)).cast("long")
     df = df.withColumn("conv_num", conv_num)
     df = df.withColumn("conv_id", F.format_string("conv-%08d", F.col("conv_num")))
 
@@ -98,26 +136,26 @@ def generate_transcripts(
     w = Window.partitionBy("conv_num").orderBy("id")
     df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
 
-    d = (_mix(i, 2) % 1000).cast("int")  # dialect selector, fixed proportions
+    d = (mix(i, 2) % 1000).cast("int")  # dialect selector, fixed proportions
     df = df.withColumn("dialect", d)
 
     # --- payload building blocks, all deterministic functions of id -------
-    status = _pick(STATUS, i, 3)
-    method = _pick(METHODS, i, 4)
-    path = _pick(PATHS, i, 5)
-    pod = _pick(PODS, i, 6)
-    logger = _pick(LOGGERS, i, 7)
-    level = _pick(LEVELS, i, 8)
-    tool = _pick(TOOLS, i, 9)
-    latency = (_mix(i, 10) % 500).cast("long")
-    nbytes = (_mix(i, 11) % 100_000).cast("long")
+    status = pick(STATUS, i, 3)
+    method = pick(METHODS, i, 4)
+    path = pick(PATHS, i, 5)
+    pod = pick(PODS, i, 6)
+    logger = pick(LOGGERS, i, 7)
+    level = pick(LEVELS, i, 8)
+    tool = pick(TOOLS, i, 9)
+    latency = (mix(i, 10) % 500).cast("long")
+    nbytes = (mix(i, 11) % 100_000).cast("long")
     epoch_ms = F.lit(1_734_243_648_000) + (i % 86_400_000)
     epoch_s = (epoch_ms / 1000).cast("long")
     ip = F.format_string(
         "10.%d.%d.%d",
-        (_mix(i, 12) % 250).cast("int"),
-        (_mix(i, 13) % 250).cast("int"),
-        (_mix(i, 14) % 250).cast("int"),
+        (mix(i, 12) % 250).cast("int"),
+        (mix(i, 13) % 250).cast("int"),
+        (mix(i, 14) % 250).cast("int"),
     )
     iso_ts = F.date_format(
         F.timestamp_millis(epoch_ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
@@ -149,7 +187,7 @@ def generate_transcripts(
         '{"Logs":{"instant":{"epochSecond":%d,"nanoOfSecond":463000000},'
         '"level":"%s","loggerName":"%s","thread":"http-nio-8080-exec-%d",'
         '"message":"%s"%s},"kubernetes":{"pod_name":"%s"}}',
-        epoch_s, level, logger, (_mix(i, 15) % 20).cast("int"),
+        epoch_s, level, logger, (mix(i, 15) % 20).cast("int"),
         F.when(level == "ERROR", F.lit("Payment processing failed"))
         .otherwise(F.lit("request handled")),
         F.when(thrown.isNotNull(), F.format_string(',"thrown":"%s"', thrown))
@@ -167,7 +205,7 @@ def generate_transcripts(
         "TOOL_CALL tool=%s status=%d latency_ms=%d args_bytes=%d",
         tool, status, latency, nbytes,
     )
-    chat_line = _pick(CHAT, i, 16)
+    chat_line = pick(CHAT, i, 16)
 
     # skip-rule / dead-letter payloads (extractor_test.go:681-1161, :283-299)
     skip_empty = F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("   \t  "))
@@ -214,8 +252,8 @@ def generate_transcripts(
 
     role = (
         F.when((d >= 800) & (d < 900), F.lit("tool"))
-        .when((d >= 900) & (d < 955), _pick(["user", "assistant"], i, 17))
-        .when(d < 800, _pick(["system", "assistant"], i, 18))
+        .when((d >= 900) & (d < 955), pick(["user", "assistant"], i, 17))
+        .when(d < 800, pick(["system", "assistant"], i, 18))
         .otherwise(F.lit("user"))
     )
     tool_col = F.when(role == "tool", tool).otherwise(F.lit(None).cast("string"))
@@ -225,7 +263,7 @@ def generate_transcripts(
     ts = F.timestamp_seconds(
         F.lit(1_704_067_200)  # 2024-01-01T00:00:00Z
         + (F.col("conv_num") % n_days) * 86_400
-        + (_mix(F.col("conv_num"), 19) % 43_200)
+        + (mix(F.col("conv_num"), 19) % 43_200)
         + F.col("turn_idx") * 7
     )
 

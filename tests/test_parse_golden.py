@@ -227,6 +227,23 @@ def test_plain_turns_route_by_role(golden):
     assert golden["plain_assistant"].category == "assistant_turn"
 
 
+def test_parse_under_default_case_insensitive_session(spark):
+    """Regression: the driver's harness runs a DEFAULT session
+    (spark.sql.caseSensitive=false). Round 1 crashed there with
+    AMBIGUOUS_REFERENCE_TO_FIELDS because a merged raw schema carried both
+    "Logs" and "logs". Parse must work with no custom conf at all.
+    """
+    assert spark.conf.get("spark.sql.caseSensitive") == "false"
+    rows = [
+        Row(conv_id="a", turn_idx=0, role="system", text=HTTP_LINE, tool=None, ts=TS),
+        Row(conv_id="b", turn_idx=0, role="system", text=PROXY_LINE, tool=None, ts=TS),
+        Row(conv_id="c", turn_idx=0, role="system", text=APP_LINE, tool=None, ts=TS),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.conv_id: r.category for r in parse_transcripts(df).collect()}
+    assert got == {"a": "http", "b": "proxy", "c": "error"}
+
+
 def test_pure_column_engine_matches_pandas_grok(spark, transcripts_10k):
     """Both parse engines (pandas-UDF grok vs pure Column) agree row-for-row."""
     a = parse_transcripts(transcripts_10k, use_pandas_grok=True)
