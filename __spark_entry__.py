@@ -511,6 +511,7 @@ def q_asof_join(spark, sf):  # as-of: nearest prior signup per purchase
     joined = asof.asof_join(
         purchases, signups, on=["user_id"], left_ts="ts", right_ts="signup_ts",
         tolerance_sec=7200, direction="backward", tiebreak=["signup_event_id"],
+        left_id="event_id",
     )
     return joined.select(
         F.col("event_id").alias("purchase_event_id"), "signup_event_id"
@@ -533,7 +534,13 @@ QUALIFY row_number() OVER (
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup family (training-data operators)
 # ---------------------------------------------------------------------------
-_SQL_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+# [] for empty/whitespace-only docs — string_split_regex('') yields ['']
+# in DuckDB while the Spark tokens() yields []; the CASE keeps the two
+# tokenizers aligned if an empty doc ever enters the fixture
+_SQL_TOKS = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+)
 
 
 def q_doc_token_stats(spark, sf):
@@ -625,13 +632,18 @@ def q_doc_quality(spark, sf):
 SQL_DOC_QUALITY = f"""
 WITH base AS (
     SELECT doc_id, text, {_SQL_TOKS} AS toks,
-           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-               ::DOUBLE / length(text) AS praw
+           CASE WHEN length(text) > 0 THEN
+               (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   ::DOUBLE / length(text)
+           ELSE 0.0 END AS praw
     FROM documents
 ), feat AS (
     SELECT doc_id, len(toks) AS n_tokens, praw,
-           len(list_filter(toks, x -> list_contains({_SQL_SW}, x)))::DOUBLE
-               / len(toks) AS swraw
+           CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains({_SQL_SW}, x)))::DOUBLE
+                   / len(toks)
+           ELSE 0.0 END AS swraw
     FROM base
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -981,11 +993,57 @@ def q_trace_assembly(spark, sf):  # designed correlator stage, realized
     from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
     from commerce_logs_pipeline_spark.plans.traces import assemble_traces
 
-    traces = assemble_traces(parse_transcripts(_transcripts(spark)))
+    # the parsed frame feeds three plan subtrees (server spans, correlate
+    # left, correlate right); checkpoint it once instead of re-running the
+    # synth+parse kernel per subtree
+    parsed = parse_transcripts(_transcripts(spark)).localCheckpoint()
+    traces = assemble_traces(parsed)
     return traces.groupBy("kind", "status_code_otel").agg(
         F.count("*").alias("n_spans"),
         F.countDistinct("trace_id").alias("n_traces"),
     )
+
+
+def _sql_trace_assembly() -> str:
+    # Ground truth: SERVER spans are the http/proxy rows (status>=500 ->
+    # ERROR); INTERNAL spans are app/error rows attached to one parent by
+    # (thread match desc, |turn gap| asc, parent turn asc) within the 60s
+    # window (7s turn spacing -> |dturn| <= 8). Parent trace identity is
+    # (conv, parent turn) — injective with the sha-derived trace_id.
+    return _sql_transcript_base() + f""", seq AS (
+    SELECT i, d, conv_num, category, status,
+           row_number() OVER (PARTITION BY conv_num ORDER BY i) - 1
+               AS turn_idx,
+           {_pm(15)} % 20 AS thr
+    FROM base
+), spans AS (
+    SELECT conv_num, turn_idx, status,
+           CASE WHEN d < 250 THEN thr END AS thr
+    FROM seq WHERE category IN ('http', 'proxy')
+), ev AS (
+    SELECT conv_num, turn_idx, thr, category
+    FROM seq WHERE category IN ('app', 'error')
+), chosen AS (
+    SELECT e.conv_num, e.category AS ev_cat, s.turn_idx AS sp_turn
+    FROM ev e JOIN spans s
+      ON e.conv_num = s.conv_num
+     AND abs(e.turn_idx - s.turn_idx) * 7 <= 60
+    QUALIFY row_number() OVER (
+        PARTITION BY e.conv_num, e.turn_idx
+        ORDER BY CASE WHEN s.thr = e.thr THEN 1 ELSE 0 END DESC,
+                 abs(e.turn_idx - s.turn_idx) ASC,
+                 s.turn_idx ASC) = 1
+)
+SELECT 'SERVER' AS kind,
+       CASE WHEN status >= 500 THEN 'ERROR' ELSE 'OK' END AS status_code_otel,
+       count(*) AS n_spans, count(*) AS n_traces
+FROM spans GROUP BY 2
+UNION ALL
+SELECT 'INTERNAL' AS kind,
+       CASE WHEN ev_cat = 'error' THEN 'ERROR' ELSE 'OK' END,
+       count(*), count(DISTINCT conv_num * 100000 + sp_turn)
+FROM chosen GROUP BY 2
+"""
 
 
 def q_profile_fields(spark, sf):  # P-M field-frequency profiler
@@ -1042,7 +1100,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_dups_lsh": (q_embedding_dups_lsh, None),
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
-    "trace_assembly": (q_trace_assembly, None),
+    "trace_assembly": (q_trace_assembly, _sql_trace_assembly()),
     "profile_json_fields": (q_profile_fields, None),
     "transcript_route_counts": (q_transcript_route_counts, _sql_route_counts()),
     "transcript_conv_counts": (q_transcript_conv_counts, _sql_conv_counts()),

@@ -246,6 +246,16 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         | ~method.isin(STANDARD_METHODS)
     )
 
+    # thrown is string-OR-object in the wire format (extractor.go:463-477
+    # re-marshals the object form). The struct schema types it string, so
+    # the object form parses to null there; fall back to the raw JSON text
+    # via get_json_object (returns the serialized object — the re-marshal
+    # analog). Evaluated lazily: only rows whose struct field is null pay
+    # the second parse, and only inside app/error branches.
+    thrown_col = F.coalesce(
+        logs1["thrown"], F.get_json_object(txt, "$.Logs.thrown")
+    )
+
     # --- timestamps (ns canonical, extraction.go:68-69) -------------------
     ts_http_ns = logs1["timeMillis"] * F.lit(1_000_000)
     ts_app_ns = F.when(
@@ -276,7 +286,7 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .when(
             is_app
             & (extract_level(logs1["level"]) == "ERROR")
-            & logs1["thrown"].isNotNull(),
+            & thrown_col.isNotNull(),
             F.lit("error"),
         )
         .when(is_proxy, F.lit("proxy"))
@@ -343,9 +353,16 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .withColumn("pod_name", pod_name)
         .withColumn("level", level)
         .withColumn("logger", logger_col)
-        .withColumn("thread", F.when(is_app | (category == "error"), logs1["thread"]))
+        # thread also carried for http rows: the raw fmt1 line is a log4j2
+        # event whose top-level thread drives the designed request<->app-log
+        # correlation (pipeline_design.md:60-64), even though the reference's
+        # extracted HTTPRequestLog drops it (extraction.go:67-91).
+        .withColumn(
+            "thread",
+            F.when(is_app | is_http | (category == "error"), logs1["thread"]),
+        )
         .withColumn("msg", msg)
-        .withColumn("thrown", F.when(is_app | (category == "error"), logs1["thrown"]))
+        .withColumn("thrown", F.when(is_app | (category == "error"), thrown_col))
         .withColumn("local_server_name", F.when(is_proxy, apache["localServerName"]))
         .withColumn("remote_user", F.when(is_proxy, apache["remoteUser"]))
         .withColumn("referer", F.when(is_proxy, apache["referer"]))

@@ -26,6 +26,10 @@ def profile_json_fields(
     # top-level fields, values keep nested JSON text for level-2 keys
     as_map = F.from_json(F.col(text_col), "map<string,string>")
     sample = sample.withColumn("_m", as_map).filter(F.col("_m").isNotNull())
+    # LIMIT without ORDER BY is not stable across jobs; freeze the sampled
+    # row set once so the denominator and the per-path counts are computed
+    # over the SAME rows (presence <= 1 guaranteed)
+    sample = sample.localCheckpoint()
     total = sample.count()
     if total == 0:
         return df.sparkSession.createDataFrame(

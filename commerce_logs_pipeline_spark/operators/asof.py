@@ -67,6 +67,7 @@ def asof_join(
     tolerance_sec: int = 3600,
     direction: str = "backward",
     tiebreak: list[str] | None = None,
+    left_id: str | list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single nearest right row at or
     before (backward) / after (forward) its timestamp, within tolerance.
@@ -74,8 +75,20 @@ def asof_join(
     Built as range_correlate + per-left-row argmin — all Column ops.
     ``tiebreak``: right-side columns that make the argmin total when two
     right rows sit at the same distance.
+
+    ``left_id``: column(s) uniquely identifying a left row. Prefer passing
+    one: the argmin then groups on a NATURAL key that survives plan
+    re-optimization and stage retries. Without it the row identity falls
+    back to monotonically_increasing_id, which is a function of partition
+    layout — stable for a materialized input, but an AQE re-plan between
+    the join and the argmin could in principle renumber rows.
     """
-    tagged = left.withColumn("_lid", F.monotonically_increasing_id())
+    if left_id is not None:
+        id_cols = [left_id] if isinstance(left_id, str) else list(left_id)
+        tagged = left
+    else:
+        id_cols = ["_lid"]
+        tagged = left.withColumn("_lid", F.monotonically_increasing_id())
     joined = range_correlate(
         tagged, right, on, left_ts, right_ts, tolerance_sec
     )
@@ -89,5 +102,6 @@ def asof_join(
     from .windows import latest_per_key
 
     order = [F.asc("_gap"), F.asc(rts)] + [F.asc(c) for c in (tiebreak or [])]
-    best = latest_per_key(joined, ["_lid"], order)
-    return best.drop("_lid", "_gap")
+    best = latest_per_key(joined, id_cols, order)
+    drop = ["_gap"] + (["_lid"] if left_id is None else [])
+    return best.drop(*drop)

@@ -31,6 +31,21 @@ def latest_per_key(
     )
 
 
+def _invertible_sort_key(col: Column, dtype: str) -> Column | None:
+    """A numeric key whose negation inverts the type's natural order, or
+    None when the type has no such mapping (strings, arrays, ...)."""
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") \
+            or dtype.startswith("decimal"):
+        return col
+    if dtype == "timestamp":
+        return F.unix_micros(col)
+    if dtype == "date":
+        return F.datediff(col, F.to_date(F.lit("1970-01-01")))
+    if dtype == "boolean":
+        return col.cast("int")
+    return None
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -40,13 +55,20 @@ def topk_per_group(
     tiebreak: str | None = None,
     two_phase: bool = True,
 ) -> DataFrame:
-    """Exact top-k rows per group.
+    """Exact top-k rows per group; both paths match the window-function
+    reference semantics (asc -> nulls first, desc -> nulls last; ascending
+    tiebreak). ``tiebreak`` should be a non-null column.
 
-    two_phase=True: per-partition partial top-k (sort_array over
-    collect_list within (group, partition)) then a final merge — the
-    map-side-combine shape that scales to 100 TB because only
-    O(partitions*k) rows shuffle. two_phase=False: plain window row_number
-    (simpler plan; full shuffle of the input).
+    two_phase=True: per-(group, input-partition) partial top-k via
+    sort_array over collect_list, then a final per-group merge. One hash
+    shuffle of packed rows (no per-group global sort — the win over the
+    window path, whose sort dominates for wide groups) and the final merge
+    touches only O(groups * partitions * k) rows. Hot-group map memory is
+    bounded by input-partition size, not group size. Descending order is
+    expressed by negating an order-isomorphic numeric key; types without
+    one (e.g. strings) fall back to the window path automatically.
+    two_phase=False: plain window row_number (full shuffle + per-group
+    sort).
     """
     if not two_phase:
         order = [F.asc(order_col) if ascending else F.desc(order_col)]
@@ -59,11 +81,27 @@ def topk_per_group(
             .drop("_rn")
         )
 
+    oc = F.col(order_col)
+    base_key = _invertible_sort_key(oc, dict(df.dtypes)[order_col])
+    if base_key is None:
+        return topk_per_group(
+            df, group_cols, order_col, k, ascending, tiebreak, two_phase=False
+        )
+    # null ordering parity with the window path: asc -> nulls first,
+    # desc -> nulls last. Struct-field ordering of null values is not
+    # relied on: a leading rank field separates nulls, and the key is a
+    # constant for null rows.
+    null_rank = F.when(
+        oc.isNull(), F.lit(0 if ascending else 1)
+    ).otherwise(F.lit(1 if ascending else 0))
+    keyval = F.when(oc.isNull(), F.lit(0)).otherwise(
+        base_key if ascending else -base_key
+    )
+
     data_cols = [c for c in df.columns if c not in group_cols]
-    # pack row; order key first so struct ordering sorts by it
-    sort_key = F.col(order_col) if ascending else F.col(order_col) * -1
     packed = F.struct(
-        sort_key.alias("_k"),
+        null_rank.alias("_n"),
+        keyval.alias("_k"),
         *(
             [F.col(tiebreak).alias("_t")] if tiebreak else []
         ),

@@ -70,6 +70,9 @@ def http_spans(parsed: DataFrame) -> DataFrame:
         F.col("client_ip"),
         F.col("method"),
         F.col("path"),
+        # log4j2 thread of the raw request line — the J4 correlation key
+        # (null for proxy rows; fmt2 has no thread)
+        F.col("thread"),
     )
 
 
@@ -84,23 +87,45 @@ def app_log_events(parsed: DataFrame) -> DataFrame:
 def correlate_app_to_spans(
     spans: DataFrame, app_events: DataFrame, tolerance_sec: int = 60
 ) -> DataFrame:
-    """J4/J5 analog: attach app-log events to the nearest request span in
-    the same conversation within a time window -> INTERNAL child spans."""
+    """J4 thread-based request<->app-log correlation with a time-window
+    fallback (pipeline_design.md:60-64): every app-log event attaches to
+    exactly ONE request span in the same conversation — preferring a span
+    whose log4j2 thread id matches the event's, then the nearest in time,
+    then the earliest span (total, deterministic order). Events whose
+    thread matches nothing fall back to pure time-window proximity."""
     ev = app_events.select(
         "conv_id",
         F.col("turn_idx").alias("ev_turn_idx"),
         F.col("ts").alias("ev_ts"),
         F.col("ts_ns").alias("ev_ts_ns"),
-        "level", "logger", "msg", "thrown",
+        "level", "logger",
+        F.col("thread").alias("ev_thread"),
+        "msg", "thrown",
     )
-    joined = range_correlate(
-        spans.select("conv_id", "trace_id", "span_id", "ts"),
+    pairs = range_correlate(
+        spans.select("conv_id", "trace_id", "span_id", "ts",
+                     F.col("thread").alias("sp_thread")),
         ev,
         on=["conv_id"],
         left_ts="ts",
         right_ts="ev_ts",
         tolerance_sec=tolerance_sec,
     )
+    thread_match = (
+        F.col("sp_thread").isNotNull()
+        & (F.col("sp_thread") == F.col("ev_thread"))
+    ).cast("int")
+    gap = F.abs(
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ev_ts"))
+    )
+    from ..operators.windows import latest_per_key
+
+    # argmin per app event: (conv_id, ev_turn_idx) is the event's natural key
+    joined = latest_per_key(
+        pairs.withColumn("_tm", thread_match).withColumn("_gap", gap),
+        ["conv_id", "ev_turn_idx"],
+        [F.desc("_tm"), F.asc("_gap"), F.asc("ts")],
+    ).drop("_tm", "_gap", "sp_thread", "ev_thread")
     child_span_id = deterministic_id(
         F.lit("app"), F.col("conv_id"), F.col("ev_turn_idx").cast("string"),
         bits=16,

@@ -161,11 +161,14 @@ def generate_transcripts(
         F.timestamp_millis(epoch_ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
     )
 
+    thread_name = F.format_string(
+        "http-nio-8080-exec-%d", (mix(i, 15) % 20).cast("int")
+    )
     http_line = F.format_string(
         '{"Logs":{"timeMillis":%d,"contextMap":{"requestLine":"%s %s HTTP/1.1",'
-        '"statusCode":%d,"bytesSent":%d,"processMillis":%d,"remoteHost":"%s"}},'
-        '"kubernetes":{"pod_name":"%s"}}',
-        epoch_ms, method, path, status, nbytes, latency, ip, pod,
+        '"statusCode":%d,"bytesSent":%d,"processMillis":%d,"remoteHost":"%s"},'
+        '"thread":"%s"},"kubernetes":{"pod_name":"%s"}}',
+        epoch_ms, method, path, status, nbytes, latency, ip, thread_name, pod,
     )
     apache_line = F.format_string(
         '{"@timestamp":"%s","logs":{"localServerName":"localhost",'

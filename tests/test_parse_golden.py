@@ -63,6 +63,16 @@ CASES: dict[str, tuple[str, str]] = {  # id -> (text, role)
     "http_status_float": (HTTP_LINE.replace('"statusCode":200', '"statusCode":200.0'),
                           "system"),
     "app_error": (APP_LINE, "system"),
+    # extractor.go:463-477 — thrown may be a JSON OBJECT; the extractor
+    # re-marshals it to its serialized text
+    "app_error_obj_thrown": (
+        APP_LINE.replace(
+            '"thrown":"java.lang.RuntimeException: Payment gateway timeout"',
+            '"thrown":{"name":"java.lang.RuntimeException",'
+            '"message":"Payment gateway timeout"}',
+        ),
+        "system",
+    ),
     "app_info": (
         APP_LINE.replace('"level":"ERROR"', '"level":"INFO"').replace(
             ',"thrown":"java.lang.RuntimeException: Payment gateway timeout"', ""
@@ -152,6 +162,19 @@ def test_app_log4j2_error(golden):
     assert r.msg == "Payment processing failed"
     assert "gateway timeout" in r.thrown
     assert r.ts_ns == 1734243648 * 1_000_000_000 + 463_000_000  # extractor.go:444
+
+
+def test_app_object_thrown_kept_as_json(golden):
+    """Object-form thrown routes to the errors sink with the serialized
+    object retained (extractor.go:463-477 re-marshal parity)."""
+    import json
+
+    r = golden["app_error_obj_thrown"]
+    assert r.category == "error"
+    assert json.loads(r.thrown) == {
+        "name": "java.lang.RuntimeException",
+        "message": "Payment gateway timeout",
+    }
 
 
 def test_app_info_no_thrown(golden):

@@ -53,6 +53,51 @@ def test_assemble_traces_dedup_and_parenting(spark, parsed_10k):
     traces.unpersist()
 
 
+def test_thread_correlation_beats_time_window(spark):
+    """J4: an app event whose thread matches a FARTHER span must attach to
+    that span, not the nearer-in-time one (pipeline_design.md:60-64)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+    from commerce_logs_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+    http = (
+        '{"Logs":{"timeMillis":%d,"contextMap":{"requestLine":"GET /x HTTP/1.1",'
+        '"statusCode":200,"bytesSent":1,"processMillis":1,"remoteHost":"1.2.3.4"},'
+        '"thread":"%s"},"kubernetes":{"pod_name":"api-1-2"}}'
+    )
+    app = (
+        '{"Logs":{"instant":{"epochSecond":%d,"nanoOfSecond":0},"level":"INFO",'
+        '"loggerName":"L","thread":"%s","message":"m"},'
+        '"kubernetes":{"pod_name":"api-1-2"}}'
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        Row(conv_id="c", turn_idx=0, role="system",
+            text=http % (1000, "exec-1"), tool=None, ts=at(100)),
+        Row(conv_id="c", turn_idx=1, role="system",
+            text=app % (2, "exec-2"), tool=None, ts=at(110)),
+        Row(conv_id="c", turn_idx=2, role="system",
+            text=http % (2000, "exec-2"), tool=None, ts=at(130)),
+    ]
+    parsed = parse_transcripts(
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    ).cache()
+    traces = assemble_traces(parsed, tolerance_sec=60)
+    internal = [r for r in traces.collect() if r.kind == "INTERNAL"]
+    assert len(internal) == 1  # exactly one parent per app event
+    spans = {r.turn_idx: r.span_id for r in http_spans(parsed).collect()}
+    # nearest span is turn 0 (gap 10s) but thread matches turn 2 (gap 20s)
+    assert internal[0].parent_span_id == spans[2]
+    parsed.unpersist()
+
+
 def test_profile_json_fields(spark, transcripts_10k):
     prof = profile_json_fields(transcripts_10k, "text", sample_rows=500)
     rows = {r.path: r for r in prof.collect()}

@@ -35,6 +35,67 @@ def test_topk_two_phase_equals_window(spark):
     assert a.count() == 15
 
 
+def test_topk_two_phase_string_and_timestamp_order(spark):
+    """Non-numeric order columns: string falls back to the window path;
+    timestamp uses the invertible-key fast path. Both must match the
+    window reference exactly."""
+    rows = [
+        ("g1", i, chr(ord("a") + (i * 7) % 26), _ts((i * 13) % 300))
+        for i in range(40)
+    ] + [("g2", i, "zz", _ts(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, id int, s string, t timestamp")
+    for order_col in ["s", "t"]:
+        for asc in [True, False]:
+            a = windows.topk_per_group(df, ["grp"], order_col, 3,
+                                       ascending=asc, tiebreak="id",
+                                       two_phase=True)
+            b = windows.topk_per_group(df, ["grp"], order_col, 3,
+                                       ascending=asc, tiebreak="id",
+                                       two_phase=False)
+            cols = ["grp", "id", "s", "t"]
+            assert a.select(cols).exceptAll(b.select(cols)).count() == 0, (
+                order_col, asc)
+            assert b.select(cols).exceptAll(a.select(cols)).count() == 0, (
+                order_col, asc)
+
+
+def test_topk_two_phase_null_order_parity(spark):
+    """Nulls in the order column: desc -> nulls last, asc -> nulls first,
+    matching row_number() semantics on both paths."""
+    rows = [("g", 1, 5.0), ("g", 2, None), ("g", 3, 1.0), ("g", 4, None),
+            ("g", 5, 9.0)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    for asc in [True, False]:
+        a = windows.topk_per_group(df, ["grp"], "v", 3, ascending=asc,
+                                   tiebreak="id", two_phase=True)
+        b = windows.topk_per_group(df, ["grp"], "v", 3, ascending=asc,
+                                   tiebreak="id", two_phase=False)
+        assert sorted((r.id, r.v) for r in a.collect()) == sorted(
+            (r.id, r.v) for r in b.collect()
+        ), asc
+
+
+def test_asof_duplicate_timestamps_natural_key(spark):
+    """Two left rows with identical (key, ts) must EACH get exactly one
+    match when identified by a natural left_id — no merge, no duplication."""
+    left = spark.createDataFrame(
+        [("k", "e1", _ts(100)), ("k", "e2", _ts(100)), ("k", "e3", _ts(500))],
+        "key string, eid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", "r1", _ts(90)), ("k", "r2", _ts(95)), ("k", "r3", _ts(480))],
+        "key string, rid string, rts timestamp",
+    )
+    out = asof.asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="rts",
+        tolerance_sec=60, direction="backward", tiebreak=["rid"],
+        left_id="eid",
+    )
+    got = {r.eid: r.rid for r in out.collect()}
+    assert got == {"e1": "r2", "e2": "r2", "e3": "r3"}
+    assert out.count() == 3
+
+
 def test_sessionize_gap(spark):
     rows = [
         ("u1", _ts(0)), ("u1", _ts(100)), ("u1", _ts(500)),  # gap 400 > 300
