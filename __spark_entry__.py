@@ -687,9 +687,13 @@ _SQL_SHINGLES = (
 )
 
 
+_NGRAM_MAX_BUCKET = 5  # exercises the hot-shingle guard at sf0.01 (max freq 7)
+
+
 def q_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), k=3, threshold=0.18, max_bucket=1_000_000
+        _t(spark, sf, "documents"), k=3, threshold=0.18,
+        max_bucket=_NGRAM_MAX_BUCKET,
     )
 
 
@@ -698,67 +702,149 @@ WITH sh AS (
     SELECT doc_id AS id, {_SQL_SHINGLES} AS shs
     FROM documents WHERE len({_SQL_TOKS}) >= 3
 ), e AS (
-    SELECT id, len(shs) AS n, unnest(shs) AS shingle FROM sh
+    SELECT id, unnest(shs) AS shingle FROM sh
+), surv AS (
+    SELECT id, shingle FROM e
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {_NGRAM_MAX_BUCKET}
+), n AS (
+    SELECT id, count(*) AS n FROM surv GROUP BY id
+), p AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+    FROM surv a JOIN surv b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       round(count(*)::DOUBLE / (a.n + b.n - count(*)), 4) AS jaccard
-FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
-GROUP BY a.id, b.id, a.n, b.n
-HAVING round(count(*)::DOUBLE / (a.n + b.n - count(*)), 4) >= 0.18
+SELECT id_a, id_b,
+       round(common::DOUBLE / (na.n + nb.n - common), 4) AS jaccard
+FROM p JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
+WHERE round(common::DOUBLE / (na.n + nb.n - common), 4) >= 0.18
 """
+
+_MH_BUCKET = 200
 
 
 def q_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), k=3, n_hashes=8, bands=4,
-        verify_threshold=0.15, max_bucket=1_000_000,
+        verify_threshold=0.15, max_bucket=_MH_BUCKET,
     )
 
 
-def _sql_minhash(seed: int) -> str:
-    return (
-        "list_min(list_transform(shs, s -> "
-        f"CAST(('0x' || substring(md5('{seed}:' || s), 1, 15)) AS BIGINT)))"
+def _sql_minhash_text() -> str:
+    from commerce_logs_pipeline_spark.functions.similarity import (
+        UH_P1,
+        UH_P2,
+        minhash_consts,
     )
 
-
-SQL_MINHASH = f"""
+    consts = minhash_consts(8)
+    mins = ",\n           ".join(
+        f"list_min(list_transform(xl, x -> ({a} * x + {b}) % {UH_P2})) AS s{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT id, {bi} AS band, "
+        f"md5(s{2 * bi}::VARCHAR || ',' || s{2 * bi + 1}::VARCHAR) AS bucket "
+        "FROM sig"
+        for bi in range(4)
+    )
+    return f"""
 WITH sh AS (
     SELECT doc_id AS id, {_SQL_SHINGLES} AS shs
     FROM documents WHERE len({_SQL_TOKS}) >= 3
-), sig AS (
-    SELECT id, shs,
-           {", ".join(f"{_sql_minhash(s)} AS s{s}" for s in range(8))}
+), xs AS (
+    SELECT id, list_transform(shs, t ->
+        CAST(('0x' || substring(md5('0:' || t), 1, 15)) AS BIGINT) % {UH_P1})
+        AS xl
     FROM sh
+), sig AS (
+    SELECT id,
+           {mins}
+    FROM xs
 ), bands AS (
-    SELECT id, shs, 0 AS band, md5(s0::VARCHAR || ',' || s1::VARCHAR) AS bucket
-        FROM sig
-    UNION ALL
-    SELECT id, shs, 1, md5(s2::VARCHAR || ',' || s3::VARCHAR) FROM sig
-    UNION ALL
-    SELECT id, shs, 2, md5(s4::VARCHAR || ',' || s5::VARCHAR) FROM sig
-    UNION ALL
-    SELECT id, shs, 3, md5(s6::VARCHAR || ',' || s7::VARCHAR) FROM sig
+{band_rows}
+), keep AS (
+    SELECT band, bucket FROM bands GROUP BY band, bucket
+    HAVING count(*) <= {_MH_BUCKET}
+), bk AS (
+    SELECT b.id, b.band, b.bucket FROM bands b JOIN keep USING (band, bucket)
 ), cand AS (
-    SELECT a.id AS id_a, b.id AS id_b,
-           any_value(a.shs) AS sh_a, any_value(b.shs) AS sh_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    GROUP BY a.id, b.id
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.id < b.id
+    GROUP BY 1, 2
+), v AS (
+    SELECT id_a, id_b, sa.shs AS sh_a, sb.shs AS sh_b
+    FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
 )
 SELECT id_a, id_b,
        round(len(list_intersect(sh_a, sh_b))::DOUBLE
              / len(list_distinct(sh_a || sh_b)), 4) AS jaccard
-FROM cand
+FROM v
 WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
             / len(list_distinct(sh_a || sh_b)), 4) >= 0.15
 """
 
 
-def q_simhash_dups(spark, sf):  # rows-only: Spark-native xxhash64 inside
+SQL_MINHASH = _sql_minhash_text()
+
+
+_SH_BUCKET = 500
+
+
+def q_simhash_dups(spark, sf):
     return dedup.simhash_dups(
-        _t(spark, sf, "documents"), max_hamming=6, max_bucket=10_000
+        _t(spark, sf, "documents"), max_hamming=6, max_bucket=_SH_BUCKET,
+        portable=True,
     )
+
+
+def _sql_simhash_text() -> str:
+    # portable md5 hashes carry 60 bits; bits 60-63 are identically 0
+    bit_terms = "\n         + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > n "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    block_rows = "\n    UNION ALL\n".join(
+        f"    SELECT id, fp, {bi} AS block, (fp >> {bi * 16}) & 65535 AS key "
+        "FROM fp"
+        for bi in range(4)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id AS id, {_SQL_TOKS} AS toks
+    FROM documents WHERE len({_SQL_TOKS}) > 0
+), hl AS (
+    SELECT id, len(toks) AS n,
+           list_transform(toks, t ->
+               CAST(('0x' || substring(md5('0:' || t), 1, 15)) AS BIGINT))
+               AS hs
+    FROM tok
+), fp AS (
+    SELECT id,
+           {bit_terms} AS fp
+    FROM hl
+), blocks AS (
+{block_rows}
+), keep AS (
+    SELECT block, key FROM blocks GROUP BY block, key
+    HAVING count(*) <= {_SH_BUCKET}
+), bk AS (
+    SELECT b.id, b.fp, b.block, b.key
+    FROM blocks b JOIN keep USING (block, key)
+), pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           any_value(a.fp) AS fp_a, any_value(b.fp) AS fp_b
+    FROM bk a JOIN bk b ON a.block = b.block AND a.key = b.key
+                        AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 6
+"""
+
+
+SQL_SIMHASH = _sql_simhash_text()
 
 
 def q_embedding_topk(spark, sf):  # brute-force ANN baseline
@@ -788,13 +874,45 @@ QUALIFY row_number() OVER (
 """
 
 
-def q_embedding_dups_lsh(spark, sf):  # rows-only: Spark-native hyperplanes
+def q_embedding_dups_lsh(spark, sf):
     return dedup.embedding_dups(
         _t(spark, sf, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         ),
-        threshold=0.3, n_planes=6,
+        threshold=0.3, n_planes=6, dim=64,
     )
+
+
+def _sql_embedding_dups_text() -> str:
+    from commerce_logs_pipeline_spark.functions.similarity import plane_matrix
+
+    planes = plane_matrix(6, 64)
+    bits = "\n         + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(str(s) for s in plane)
+        + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+    SELECT id, v,
+           {bits} AS bucket
+    FROM e
+)
+SELECT a.id AS id_a, bb.id AS id_b,
+       round(list_dot_product(a.v, bb.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(bb.v, bb.v))), 4) AS cos
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+WHERE round(list_dot_product(a.v, bb.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(bb.v, bb.v))), 4) >= 0.3
+"""
+
+
+SQL_EMBEDDING_DUPS = _sql_embedding_dups_text()
 
 
 # ---------------------------------------------------------------------------
@@ -813,7 +931,11 @@ _TK_DIV = 10**18 // _TN_CONVS
 def _transcripts(spark, n=_TN):
     from commerce_logs_pipeline_spark.synth import generate_transcripts
 
-    return generate_transcripts(spark, n, portable=True)
+    # materialize the synthesized corpus: the text column is an expensive
+    # generator expression, and projection collapse would otherwise inline
+    # it into EVERY parse column that reads text (measured 4x re-synthesis
+    # on the tool-rate query). Real deployments read text from storage.
+    return generate_transcripts(spark, n, portable=True).localCheckpoint()
 
 
 def _pm(salt: int, expr: str = "i") -> str:
@@ -1096,9 +1218,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
-    "simhash_dups": (q_simhash_dups, None),
+    "simhash_dups": (q_simhash_dups, SQL_SIMHASH),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
-    "embedding_dups_lsh": (q_embedding_dups_lsh, None),
+    "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
     "trace_assembly": (q_trace_assembly, _sql_trace_assembly()),
     "profile_json_fields": (q_profile_fields, None),

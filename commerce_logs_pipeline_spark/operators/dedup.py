@@ -26,14 +26,44 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from ..functions.similarity import (
     hamming64,
     minhash_signature,
-    portable_hash64,
-    simhash64,
+    plane_matrix,
+    with_simhash,
 )
-from ..functions.text import content_md5, shingles, tokens
+from ..functions.text import content_md5, shingles_from_tokens, tokens
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least one input split per core BEFORE a CPU-heavy per-row
+    kernel (md5 hashing, simhash/minhash folds). Those kernels run ahead of
+    any shuffle, so a small or single-split input serializes them on one
+    task — measured 20s single-task vs <1s spread for the simhash kernel
+    over a one-file parquet corpus. No-op at real scale where inputs carry
+    >= cores splits."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, sh) with the tokenizer materialized as its own column so the
+    shingle lambda reads an attribute instead of re-running the regex split
+    per element (see text.shingles_from_tokens)."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .withColumn("sh", shingles_from_tokens(F.col("_toks"), k))
+        .select("id", "sh")
+        .filter(F.size("sh") > 0)
+    )
 
 
 def exact_dedup(
@@ -85,34 +115,40 @@ def ngram_jaccard_pairs(
     -> count common shingles per pair -> jaccard = common/(|A|+|B|-common).
     Only pairs sharing >=1 shingle are materialized. ``max_bucket`` drops
     degenerate ubiquitous shingles (stopword-like), the skew guard.
+
+    The Jaccard is computed over the FILTERED shingle universe: per-doc
+    sizes are re-counted after the hot-shingle drop so numerator and
+    denominator agree (counting the full set against a filtered common
+    count would systematically underestimate similarity for docs that
+    contain hot shingles).
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    # skew guard: drop shingles present in too many docs
+    sh = _shingled(df, text_col, id_col, k)
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    # skew guard: drop shingles present in too many docs (stopword-like
+    # shingles make the self-join quadratic — a hot shingle in f docs
+    # yields f^2 candidate rows)
     bucket_sizes = exploded.groupBy("shingle").agg(F.count("*").alias("bn"))
-    exploded = exploded.join(
+    surv = exploded.join(
         bucket_sizes.filter(F.col("bn") <= max_bucket).select("shingle"),
         on="shingle",
-    )
-    a = exploded.select(
-        F.col("shingle"),
-        F.col("id").alias("id_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    b = exploded.select(
-        F.col("shingle"),
-        F.col("id").alias("id_b"),
-        F.col("n_sh").alias("n_b"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both join sides
+    # per-doc sizes over the surviving universe (tiny frame: one row/doc)
+    n_filtered = surv.groupBy("id").agg(F.count("*").alias("n"))
+    a = surv.select("shingle", F.col("id").alias("id_a"))
+    b = surv.select("shingle", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
+    )
+    # attach sizes AFTER pair aggregation: the join touches candidate
+    # pairs, not the exploded corpus
+    na = n_filtered.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = n_filtered.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, on="id_a")
+        .join(nb, on="id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -124,7 +160,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 def minhash_lsh_pairs(
@@ -139,15 +174,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidate pairs (optionally verified with exact Jaccard).
 
-    signature(16 hashes) -> 4 bands x 4 rows -> band-hash buckets ->
-    self-join within buckets. Sub-quadratic: cost ~ sum over buckets of
-    bucket^2, bounded by ``max_bucket``.
+    signature(n universal hashes over one md5 base per shingle) -> bands ->
+    band-hash buckets -> self-join within buckets. Sub-quadratic: cost ~
+    sum over buckets of bucket^2, bounded by ``max_bucket``.
+
+    Shuffle discipline: the band self-join carries ONLY (band, bucket, id)
+    — at corpus scale the shingle arrays dominate row width, so they are
+    re-attached BY ID to the deduped candidate pairs for the verify step
+    (shuffles candidates, not the corpus, through the join).
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # base feeds the signature AND both verify re-attach joins; banded
+    # self-joins against itself — persist both so the tokenize/shingle/md5
+    # work is paid once (plan-tree references re-execute, they don't share)
+    base = _shingled(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
 
     # portable band key: md5 of the comma-joined signature slice, so the
@@ -168,30 +210,35 @@ def minhash_lsh_pairs(
         for bi in range(bands)
     ]
     banded = sig.select(
-        "id", "sh", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
     banded = banded.join(
         sizes.filter(F.col("bn") <= max_bucket).select("band", "bucket"),
         on=["band", "bucket"],
     )
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"),
-                         F.col("sh").alias("sh_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"),
-                          F.col("sh").alias("sh_b"))
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand
     from ..functions.similarity import jaccard
 
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -203,16 +250,25 @@ def simhash_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 500,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash within ``max_hamming`` bits.
 
     Pigeonhole banding: split the 64-bit fingerprint into 4 x 16-bit
     blocks; any pair within hamming distance 3 agrees exactly on >=1 block,
-    so block equality is a complete candidate generator.
+    so block equality is a complete candidate generator. Zero-token docs
+    are excluded (their fingerprint carries no signal; exact dedup handles
+    them). ``portable=True`` uses the md5 hash family so an external SQL
+    oracle reproduces the fingerprints.
     """
-    fp = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
-        simhash64(tokens(F.lower(F.col(text_col)))).alias("fp"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    fp = (
+        with_simhash(toks, F.col("_toks"), out="fp", portable=portable)
+        .select("id", "fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 16 bytes/doc; feeds 4 subtrees
     )
     blocks = [
         F.struct(
@@ -248,35 +304,32 @@ def embedding_dups(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int = 64,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Embedding near-dups: random-hyperplane LSH buckets (deterministic
-    seeded planes via portable hashes of dimension index) then exact cosine
-    within buckets. For the brute-force/top-k path see operators/ann.py."""
-    from ..functions.similarity import cosine
+    """Embedding near-dups: random-hyperplane LSH buckets then exact cosine
+    within buckets. The ±1 planes are deterministic md5-seeded LITERALS
+    (similarity.plane_matrix) — zero per-row hash cost, and an external
+    SQL oracle embeds the identical constants. ``max_bucket`` caps hot
+    buckets (dense regions of embedding space) the same way the shingle
+    and band guards do. For the brute-force/top-k path see operators/ann.py.
+    """
+    from ..functions.similarity import cosine, dot
 
-    # deterministic pseudo-planes: sign pattern from hash(dim, plane)
+    planes = plane_matrix(n_planes, dim)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    dim = F.size(F.col("v"))
-    plane_bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda j: F.when(
-                        F.pmod(F.xxhash64(j.cast("string"), F.lit(p)), 2) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, s: v * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        bit = F.when(dot(F.col("v"), lit_plane) >= 0, F.lit(2 ** p)).otherwise(
+            F.lit(0)
         )
-        plane_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-    bucket = sum(plane_bits[1:], plane_bits[0])
-    b = b.withColumn("bucket", bucket)
+        bucket = bucket + bit
+    b = b.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("bn"))
+    b = b.join(
+        sizes.filter(F.col("bn") <= max_bucket).select("bucket"), on="bucket"
+    )
     l = b.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     r = b.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (

@@ -11,7 +11,7 @@ from commerce_logs_pipeline_spark.functions.similarity import (
     cosine,
     hamming64,
     jaccard,
-    simhash64,
+    with_simhash,
 )
 from commerce_logs_pipeline_spark.operators import ann, dedup
 
@@ -85,16 +85,25 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_simhash_identical_and_hamming(spark, docs):
-    fp = docs.select(
-        "doc_id", simhash64(TX.tokens(F.lower(F.col("text")))).alias("fp")
-    )
+    fp = with_simhash(
+        docs.withColumn("_t", TX.tokens(F.lower(F.col("text")))),
+        F.col("_t"),
+        out="fp",
+    ).select("doc_id", "fp")
     vals = {r.doc_id: r.fp for r in fp.collect()}
-    assert vals[0] == vals[2]
+    assert vals[0] == vals[2]  # identical after normalization
     pairs = dedup.simhash_dups(docs, max_hamming=10).collect()
     assert (0, 2) in {(r.id_a, r.id_b) for r in pairs}
-    # hamming of identical fingerprints is 0
-    two = fp.filter("doc_id in (0, 2)").collect()
-    assert two[0].fp == two[1].fp
+    # portable and fast fingerprints agree on identity (not on bit values)
+    pfp = with_simhash(
+        docs.withColumn("_t", TX.tokens(F.lower(F.col("text")))),
+        F.col("_t"),
+        out="fp",
+        portable=True,
+    ).select("doc_id", "fp")
+    pvals = {r.doc_id: r.fp for r in pfp.collect()}
+    assert pvals[0] == pvals[2]
+    assert pvals[0] >> 60 == 0  # md5 family: top 4 bits always clear
 
 
 def test_cosine_and_jaccard_columns(spark):
