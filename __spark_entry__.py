@@ -1176,6 +1176,107 @@ def q_profile_fields(spark, sf):  # P-M field-frequency profiler
     return profile_json_fields(_transcripts(spark), "text", sample_rows=1000)
 
 
+# ---------------------------------------------------------------------------
+# Selector surface (F1 blob-name parse + F2 predicate registry): synthesize
+# blob names with the portable mix, parse+classify them with the registry in
+# Spark, and let DuckDB re-derive ground truth from the construction — an
+# end-to-end value check of the structural parser and all 7 predicates.
+# ---------------------------------------------------------------------------
+_SEL_PODS = [
+    "apache2-igc-9db94ff4f-b6w9z", "apache2-igc-nat-7c58b477db-42fg8",
+    "api-d64987b96-ctnd7", "backoffice-677f87b859-x9xn8",
+    "backgroundprocessing-7f56bcb6f-h6j87", "jsapps-6cb865fc5b-bgg2c",
+    "imageprocessing-64bd7f67f4-t8bqn", "zookeeper-1", "solr-0",
+    "hybris-autoscaler-7cb9764759-vrhrc",
+]
+_SEL_NS = ["default", "default", "default", "kube-system"]
+_SEL_CONTAINERS = [
+    "proxy", "platform", "jsapps", "imageprocessing", "zookeeper",
+    "cache-cleaner", "sidecar", "hybris-autoscaler",
+]
+_SEL_N = 10_000
+
+
+def q_selector_classify(spark, sf):
+    from commerce_logs_pipeline_spark.functions.selectors import classify_blob
+
+    def pm(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+
+    def pick(arr, salt):
+        a = F.array(*[F.lit(x) for x in arr])
+        return F.element_at(a, (pm(salt) % len(arr) + 1).cast("int"))
+
+    df = spark.range(_SEL_N)
+    date = F.concat(F.lit("202506"), F.lpad((pm(1) % 7 + 13).cast("string"), 2, "0"))
+    pod = pick(_SEL_PODS, 2)
+    ns = pick(_SEL_NS, 3)
+    container = pick(_SEL_CONTAINERS, 4)
+    cid = F.md5(F.col("id").cast("string"))
+    blob = (
+        F.when(pm(5) % 20 == 0, F.lit("invalid-blob-name.gz"))
+        .when(
+            pm(5) % 20 == 1,
+            F.format_string("%s.%s_%s_%s-%s", date, pod, ns, container, cid),
+        )
+        .otherwise(
+            F.format_string("%s.%s_%s_%s-%s.gz", date, pod, ns, container, cid)
+        )
+    )
+    return (
+        df.select(blob.alias("blob_name"))
+        .select(
+            F.coalesce(classify_blob(F.col("blob_name")), F.lit("unmatched"))
+            .alias("selector")
+        )
+        .groupBy("selector")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_selector_classify() -> str:
+    def sql_pick(arr, salt):
+        return (
+            "(" + _sql_list(arr) + f")[{_pm(salt)} % {len(arr)} + 1]"
+        )
+
+    return f"""
+WITH g AS (
+    SELECT i, {_pm(5)} % 20 AS inv,
+           {sql_pick(_SEL_PODS, 2)} AS pod,
+           {sql_pick(_SEL_NS, 3)} AS ns,
+           {sql_pick(_SEL_CONTAINERS, 4)} AS container
+    FROM generate_series(0, {_SEL_N - 1}) AS s(i)
+), labeled AS (
+    SELECT CASE
+        WHEN inv IN (0, 1) THEN 'unmatched'
+        WHEN starts_with(pod, 'apache2-igc-')
+             AND NOT starts_with(pod, 'apache2-igc-nat-')
+             AND ns = 'default' AND container = 'proxy' THEN 'apache-proxy'
+        WHEN starts_with(pod, 'api-') AND container = 'platform' THEN 'api'
+        WHEN starts_with(pod, 'backoffice') AND container = 'platform'
+            THEN 'backoffice'
+        WHEN starts_with(pod, 'backgroundprocessing')
+             AND container = 'platform' THEN 'background-processing'
+        WHEN starts_with(pod, 'jsapps') AND container = 'jsapps'
+            THEN 'jsapps'
+        WHEN starts_with(pod, 'imageprocessing')
+             AND container = 'imageprocessing' THEN 'imageprocessing'
+        WHEN starts_with(pod, 'zookeeper') AND container = 'zookeeper'
+            THEN 'zookeeper'
+        ELSE 'unmatched' END AS selector
+    FROM g
+)
+SELECT selector, count(*) AS n FROM labeled GROUP BY selector
+"""
+
+
 def q_media_image_features(spark, sf):  # multimodal plumbing (stubbed decode)
     from commerce_logs_pipeline_spark.sources.multimodal import (
         extract_image_features,
@@ -1228,6 +1329,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "transcript_conv_counts": (q_transcript_conv_counts, _sql_conv_counts()),
     "transcript_tool_rates": (q_transcript_tool_rates, _sql_tool_rates()),
     "transcript_status_class": (q_transcript_status_class, _sql_status_class()),
+    "selector_classified_counts": (q_selector_classify, _sql_selector_classify()),
     "media_image_features": (q_media_image_features, None),
 }
 

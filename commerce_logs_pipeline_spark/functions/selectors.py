@@ -1,0 +1,229 @@
+"""Blob-name structural parse + named selector predicate registry + blob
+event key generate/parse — the reference's primary user-facing query surface.
+
+Reference parity (/root/reference):
+- F1 blob-name parse: blob-monitor/internal/selectors/selectors.go:20-71.
+  Format ``{date}.{pod}_{namespace}_{container}-{containerID}.gz``; the
+  container/ID split is on the LAST dash (container names can contain
+  dashes, e.g. ``hybris-autoscaler``), the namespace/container split on the
+  LAST underscore of the remaining prefix. Any missing separator ->
+  valid=false with all fields null.
+- F2 selector registry: selectors.go:84-186 — seven named predicates, each
+  a pod-prefix/namespace/container conjunction over the parsed name (only
+  ``apache-proxy`` constrains the namespace and carries the NAT-pod
+  exclusion). Accept/reject behavior is pinned by goldens ported from
+  selectors_test.go:179-545.
+- F3 date+selector filter: selectors.go:219-239 — Azure list-prefix
+  ``{azure_prefix}{date}{service_prefix}`` narrowing + predicate.
+- P-K / F7 key gen/parse: events/keys.go:19-60 —
+  ``{subscription}:{environment}:{eventType}:{cleanBlobName}`` with the
+  ``kubernetes/`` prefix stripped on generate, a 4-way limited split on
+  parse, and the ``line-`` event-type sniff.
+
+Everything is a pure Column expression (string builtins only — codegen'd,
+no UDFs, no regex backtracking) so selector filters push down to scans and
+run at full scan speed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOB_FIELDS = ["date", "pod_name", "namespace", "container", "container_id"]
+
+
+def parse_blob_name(col: Column) -> Column:
+    """Parse a Kubernetes log blob name into
+    struct(date, pod_name, namespace, container, container_id, valid).
+
+    Exact selectors.go:20-71 semantics: suffix check, FIRST dot, FIRST
+    underscore, LAST dash, LAST underscore; every missing separator makes
+    the whole struct invalid (fields null, valid=false).
+    """
+    has_gz = col.endswith(".gz")
+    ne = F.substring(col, 1, F.length(col) - 3)  # name without ".gz"
+
+    dot = F.instr(ne, ".")
+    date = F.substring(ne, F.lit(1), dot - 1)
+    rem = F.substring(ne, dot + 1, F.length(ne))
+
+    us = F.instr(rem, "_")
+    pod = F.substring(rem, F.lit(1), us - 1)
+    nc = F.substring(rem, us + 1, F.length(rem))
+
+    # container id = text after the LAST dash
+    cid = F.substring_index(nc, "-", -1)
+    has_dash = F.instr(nc, "-") > 0
+    ncp = F.substring(nc, F.lit(1), F.length(nc) - F.length(cid) - 1)
+
+    # container = text after the LAST underscore of the prefix part
+    container = F.substring_index(ncp, "_", -1)
+    has_us2 = F.instr(ncp, "_") > 0
+    namespace = F.substring(
+        ncp, F.lit(1), F.length(ncp) - F.length(container) - 1
+    )
+
+    valid = has_gz & (dot > 0) & (us > 0) & has_dash & has_us2
+    nn = F.lit(None).cast("string")
+    return F.struct(
+        F.when(valid, date).otherwise(nn).alias("date"),
+        F.when(valid, pod).otherwise(nn).alias("pod_name"),
+        F.when(valid, namespace).otherwise(nn).alias("namespace"),
+        F.when(valid, container).otherwise(nn).alias("container"),
+        F.when(valid, cid).otherwise(nn).alias("container_id"),
+        valid.alias("valid"),
+    )
+
+
+@dataclass(frozen=True)
+class BlobSelector:
+    """Registry entry (selectors.go:74-81): metadata + predicate builder."""
+
+    name: str
+    display_name: str
+    description: str
+    azure_prefix: str
+    service_prefix: str
+    pod_prefix: str
+    container: str
+    namespace: str | None = None       # only apache-proxy constrains it
+    pod_prefix_exclude: str | None = None
+
+    def predicate(self, blob_col: Column) -> Column:
+        """Column predicate over a raw blob-name column."""
+        p = parse_blob_name(blob_col)
+        cond = (
+            p["valid"]
+            & p["pod_name"].startswith(self.pod_prefix)
+            & (p["container"] == self.container)
+        )
+        if self.namespace is not None:
+            cond = cond & (p["namespace"] == self.namespace)
+        if self.pod_prefix_exclude is not None:
+            cond = cond & ~p["pod_name"].startswith(self.pod_prefix_exclude)
+        return cond
+
+    def date_prefix(self, date: str) -> str:
+        """Azure list prefix for a date (selectors.go:236-239)."""
+        return f"{self.azure_prefix}{date}{self.service_prefix}"
+
+
+# selectors.go:84-186, field-for-field
+SELECTORS: dict[str, BlobSelector] = {
+    s.name: s
+    for s in [
+        BlobSelector(
+            "apache-proxy", "Apache Proxy Service",
+            "HTTP request/response logs from Apache proxy containers",
+            "kubernetes/", ".apache2-igc-",
+            pod_prefix="apache2-igc-", container="proxy",
+            namespace="default", pod_prefix_exclude="apache2-igc-nat-",
+        ),
+        BlobSelector(
+            "api", "Commerce API Service", "Main API service logs",
+            "kubernetes/", ".api-", pod_prefix="api-", container="platform",
+        ),
+        BlobSelector(
+            "backoffice", "Backoffice Service",
+            "Administrative interface logs",
+            "kubernetes/", ".backoffice",
+            pod_prefix="backoffice", container="platform",
+        ),
+        BlobSelector(
+            "background-processing", "Background Processing Service",
+            "Asynchronous task processing logs",
+            "kubernetes/", ".backgroundprocessing",
+            pod_prefix="backgroundprocessing", container="platform",
+        ),
+        BlobSelector(
+            "jsapps", "JavaScript Applications",
+            "Frontend application logs",
+            "kubernetes/", ".jsapps", pod_prefix="jsapps", container="jsapps",
+        ),
+        BlobSelector(
+            "imageprocessing", "Image Processing Service",
+            "Media and image processing logs",
+            "kubernetes/", ".imageprocessing",
+            pod_prefix="imageprocessing", container="imageprocessing",
+        ),
+        BlobSelector(
+            "zookeeper", "Zookeeper Service",
+            "Zookeeper coordination service logs",
+            "kubernetes/", ".zookeeper",
+            pod_prefix="zookeeper", container="zookeeper",
+        ),
+    ]
+}
+
+
+def get_selector(name: str) -> BlobSelector:
+    """selectors.go:199-206 — KeyError-free lookup with the same message."""
+    if name not in SELECTORS:
+        raise ValueError(
+            f"unknown selector '{name}'. Available selectors: "
+            f"{sorted(SELECTORS)}"
+        )
+    return SELECTORS[name]
+
+
+def selector_predicate(name: str, blob_col: Column) -> Column:
+    return get_selector(name).predicate(blob_col)
+
+
+def classify_blob(blob_col: Column) -> Column:
+    """First matching selector name in registry order, else null — the
+    router face of the registry (one scan classifies every blob)."""
+    out = F.lit(None).cast("string")
+    for name in reversed(list(SELECTORS)):
+        out = F.when(SELECTORS[name].predicate(blob_col), F.lit(name)).otherwise(out)
+    return out
+
+
+def filter_blobs_for_date(
+    df: DataFrame, selector_name: str, date: str, blob_col: str = "blob_name"
+) -> DataFrame:
+    """F3: date-prefix narrowing + selector predicate
+    (selectors.go:219-234). The startswith is sargable — it prunes at the
+    scan; the structural predicate then filters survivors."""
+    sel = get_selector(selector_name)
+    c = F.col(blob_col)
+    return df.filter(
+        c.startswith(sel.date_prefix(date)) & sel.predicate(c)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blob event keys (events/keys.go:19-60)
+# ---------------------------------------------------------------------------
+def generate_blob_event_key(
+    subscription: Column, environment: Column, event_type: Column,
+    blob_name: Column,
+) -> Column:
+    """``{sub}:{env}:{eventType}:{blob}`` with ``kubernetes/`` stripped."""
+    clean = F.when(
+        blob_name.startswith("kubernetes/"),
+        F.substring(blob_name, F.lit(12), F.length(blob_name)),
+    ).otherwise(blob_name)
+    return F.concat_ws(":", subscription, environment, event_type, clean)
+
+
+def parse_blob_event_key(key: Column) -> Column:
+    """struct(subscription, environment, event_type, blob_name, valid,
+    is_log_line). Limited 4-way split (keys.go:31-44): the blob name may
+    itself contain colons."""
+    parts = F.split(key, ":", 4)
+    valid = F.size(parts) == 4
+    nn = F.lit(None).cast("string")
+    event_type = F.element_at(parts, 3)
+    return F.struct(
+        F.when(valid, F.element_at(parts, 1)).otherwise(nn).alias("subscription"),
+        F.when(valid, F.element_at(parts, 2)).otherwise(nn).alias("environment"),
+        F.when(valid, event_type).otherwise(nn).alias("event_type"),
+        F.when(valid, F.element_at(parts, 4)).otherwise(nn).alias("blob_name"),
+        valid.alias("valid"),
+        # keys.go:57-60 — log-line events carry a "line-" prefixed type
+        (valid & event_type.startswith("line-")).alias("is_log_line"),
+    )

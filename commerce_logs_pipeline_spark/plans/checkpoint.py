@@ -84,12 +84,42 @@ class ManifestStore:
     def closed_partitions(self, spark: SparkSession) -> DataFrame:
         return self.current_state(spark).filter(F.col("status") == "closed").select(*KEY)
 
-    def pending(self, spark: SparkSession, partitioned_input: DataFrame) -> DataFrame:
-        """Anti-join input rows against closed partitions (J7 analog,
-        worker.go:346-351): only not-yet-committed partitions flow."""
-        closed = self.closed_partitions(spark)
-        # manifest side is tiny -> broadcast the anti-join build side
-        return partitioned_input.join(F.broadcast(closed), on=KEY, how="left_anti")
+    def pending(
+        self,
+        spark: SparkSession,
+        partitioned_input: DataFrame,
+        turn_col: str = "turn_idx",
+    ) -> DataFrame:
+        """Rows still needing ingestion — TWO granularities, mirroring the
+        reference's resume ladder (worker.go:346-351 partition skip +
+        processor.go:86-116 mid-blob offset resume):
+
+        - CLOSED (day, bucket) partitions drop entirely (anti-join);
+        - OPEN partitions with a recorded watermark resume MID-PARTITION:
+          only rows with ``turn_col > max_turn_watermark`` flow. The
+          watermark contract is the append-only tail model — a committed
+          chunk contains every turn with turn_idx <= w for all
+          conversations in the partition (the analog of a blob's
+          lastIngestedOffset: new lines only ever append);
+        - unseen partitions flow whole.
+
+        Both manifest sides are tiny (one row per partition) -> broadcast.
+        """
+        state = self.current_state(spark)
+        closed = state.filter(F.col("status") == "closed").select(*KEY)
+        open_wm = (
+            state.filter(
+                (F.col("status") == "open")
+                & F.col("max_turn_watermark").isNotNull()
+            )
+            .select(*KEY, F.col("max_turn_watermark").alias("_wm"))
+        )
+        out = partitioned_input.join(F.broadcast(closed), on=KEY, how="left_anti")
+        return (
+            out.join(F.broadcast(open_wm), on=KEY, how="left")
+            .filter(F.col("_wm").isNull() | (F.col(turn_col) > F.col("_wm")))
+            .drop("_wm")
+        )
 
 
 def completion_events(

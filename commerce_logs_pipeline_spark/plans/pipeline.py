@@ -91,6 +91,7 @@ def run_pipeline(
     write_aggregates: bool = True,
     use_pandas_grok: bool = True,
     single_pass_router: bool = True,
+    close_partitions: bool = True,
 ) -> PipelineReport:
     """Run the full pipeline over ``transcripts``; outputs under ``base_path``.
 
@@ -204,7 +205,16 @@ def run_pipeline(
     phases["aggregates"] = round(time.monotonic() - tp, 2)
 
     tp = time.monotonic()
-    manifest.append(completion_events(with_partition_cols(agg_source), run_id))
+    # close_partitions=False records OPEN events with the chunk's turn
+    # watermark: the next resume continues MID-PARTITION from turn > w
+    # (the growing-blob tail model, processor.go:86-116); the final chunk
+    # closes the latch.
+    manifest.append(
+        completion_events(
+            with_partition_cols(agg_source), run_id,
+            status="closed" if close_partitions else "open",
+        )
+    )
     phases["manifest"] = round(time.monotonic() - tp, 2)
     agg_source.unpersist()
 

@@ -135,6 +135,51 @@ def test_partial_progress_resume(spark, tmp_path):
     assert total == 4_000
 
 
+def test_offset_level_resume_within_open_partition(spark, tmp_path):
+    """S2 mid-partition resume (processor.go:86-116 analog): a chunk that
+    commits turns <= w with status OPEN is resumed from turn > w — already
+    committed turns are never re-parsed, and the incremental union of the
+    two chunks is byte-identical to a one-shot run."""
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 4_000, partitions=4)
+
+    # chunk 1: the "blob so far" — turns 0..2 of every conversation,
+    # committed with OPEN status (the tail keeps growing)
+    chunk1 = full.filter(F.col("turn_idx") <= 2)
+    n1 = chunk1.count()
+    rep1 = run_pipeline(spark, chunk1, base, run_id="chunk1",
+                        close_partitions=False)
+    assert rep1.rows_in == n1
+
+    # chunk 2: rerun over the FULL input; resume must skip every committed
+    # turn (no re-parse) and ingest exactly the tail
+    rep2 = run_pipeline(spark, full, base, run_id="chunk2")
+    assert rep1.rows_in + rep2.rows_in == 4_000
+    assert rep2.rows_in == 4_000 - n1
+
+    # incremental (append-visibility) read across both committed chunks
+    # equals a one-shot run, row-for-row
+    from commerce_logs_pipeline_spark.operators.router import read_routed
+
+    two_chunk = read_routed(spark, base, incremental=True)
+    assert two_chunk.count() == 4_000
+    assert (
+        two_chunk.select("conv_id", "turn_idx").distinct().count() == 4_000
+    )
+
+    base_one = str(tmp_path / "oneshot")
+    run_pipeline(spark, full, base_one, run_id="oneshot")
+    one = read_routed(spark, base_one)
+    cols = ["conv_id", "turn_idx", "category", "role"]
+    assert two_chunk.select(cols).exceptAll(one.select(cols)).count() == 0
+    assert one.select(cols).exceptAll(two_chunk.select(cols)).count() == 0
+
+    # the manifest watermark advanced monotonically and the latch closed
+    state = ManifestStore(f"{base}/_manifest").current_state(spark)
+    assert state.filter("status != 'closed'").count() == 0
+    assert state.agg(F.min("max_turn_watermark")).collect()[0][0] >= 2
+
+
 def test_completion_events_shape(spark, parsed_10k):
     ev = completion_events(with_partition_cols(parsed_10k), "runX")
     rows = ev.collect()
