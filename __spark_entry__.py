@@ -1277,6 +1277,181 @@ SELECT selector, count(*) AS n FROM labeled GROUP BY selector
 """
 
 
+# ---------------------------------------------------------------------------
+# Blob event keys (P-K/F7): generate -> parse roundtrip under aggregation.
+# ---------------------------------------------------------------------------
+_KEY_SUBS = ["s1", "s2", "s3"]
+_KEY_ENVS = ["prod", "stage", "dev"]
+_KEY_TYPES = ["line-1", "line-2", "blob-created", "blob-closed", "observed"]
+_KEY_N = 8_000
+
+
+def q_blob_event_keys(spark, sf):
+    from commerce_logs_pipeline_spark.functions.selectors import (
+        generate_blob_event_key,
+        parse_blob_event_key,
+    )
+
+    def pm(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+
+    def pick(arr, salt):
+        a = F.array(*[F.lit(x) for x in arr])
+        return F.element_at(a, (pm(salt) % len(arr) + 1).cast("int"))
+
+    df = spark.range(_KEY_N)
+    blob = F.concat(
+        F.lit("kubernetes/20250613.pod-"),
+        (pm(4) % 100).cast("string"),
+        F.lit("_default_c-"),
+        F.md5(F.col("id").cast("string")),
+        F.lit(".gz"),
+    )
+    key = F.when(
+        pm(5) % 10 == 0, F.lit("not-a-valid-key")  # parse-failure rows
+    ).otherwise(
+        generate_blob_event_key(pick(_KEY_SUBS, 1), pick(_KEY_ENVS, 2),
+                                pick(_KEY_TYPES, 3), blob)
+    )
+    parsed = df.select(parse_blob_event_key(key).alias("k"))
+    return (
+        parsed.groupBy(
+            F.coalesce(F.col("k.environment"), F.lit("invalid")).alias("environment"),
+            F.coalesce(F.col("k.event_type"), F.lit("invalid")).alias("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k.is_log_line").cast("int")).cast("long")
+            .alias("n_log_lines"),
+        )
+    )
+
+
+def _sql_blob_event_keys() -> str:
+    return f"""
+WITH g AS (
+    SELECT i, {_pm(5)} % 10 AS inv,
+           ({_sql_list(_KEY_ENVS)})[{_pm(2)} % {len(_KEY_ENVS)} + 1] AS env,
+           ({_sql_list(_KEY_TYPES)})[{_pm(3)} % {len(_KEY_TYPES)} + 1] AS et
+    FROM generate_series(0, {_KEY_N - 1}) AS s(i)
+), lab AS (
+    SELECT CASE WHEN inv = 0 THEN 'invalid' ELSE env END AS environment,
+           CASE WHEN inv = 0 THEN 'invalid' ELSE et END AS event_type,
+           CASE WHEN inv = 0 THEN 0
+                WHEN starts_with(et, 'line-') THEN 1 ELSE 0 END AS ll
+    FROM g
+)
+SELECT environment, event_type, count(*) AS n,
+       CAST(sum(ll) AS BIGINT) AS n_log_lines
+FROM lab GROUP BY environment, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Manifest fold (A3/J3): synthesized completion-event log -> folded state.
+# Duplicate deliveries are synthesized as IDENTICAL rows per
+# (day, bucket, run) triple, so the dedup-then-fold is deterministic.
+# ---------------------------------------------------------------------------
+_MF_N = 5_000
+
+
+def q_manifest_fold(spark, sf):
+    from commerce_logs_pipeline_spark.plans.checkpoint import fold_manifest
+
+    def pm(salt, col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+
+    i = F.col("id").cast("string")
+    day_num = pm(21, i) % 28 + 1
+    bucket = (pm(22, i) % 16).cast("int")
+    run_num = pm(23, i) % 40
+    trip = F.concat_ws(
+        "|", day_num.cast("string"), bucket.cast("string"),
+        run_num.cast("string"),
+    )
+    ev = spark.range(_MF_N).select(
+        F.format_string("2024-01-%02d", day_num.cast("int")).alias("day"),
+        bucket.alias("bucket"),
+        F.when(pm(31, trip) % 4 == 0, F.lit("closed")).otherwise(F.lit("open"))
+        .alias("status"),
+        (pm(32, trip) % 1000).alias("max_turn_watermark"),
+        (pm(33, trip) % 10000).alias("rows_processed"),
+        (pm(36, trip) % 9000).alias("rows_routed"),
+        (pm(34, trip) % 500).alias("rows_skipped"),
+        (pm(35, trip) % 100).alias("rows_error"),
+        F.timestamp_seconds(F.lit(1704067200) + pm(37, trip) % 86400)
+        .alias("first_processed_ts"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + pm(37, trip) % 86400 + pm(38, trip) % 3600
+        ).alias("last_processed_ts"),
+        F.concat(F.lit("r"), run_num.cast("string")).alias("run_id"),
+        F.timestamp_seconds(F.lit(1700000000) + run_num * 1000).alias(
+            "updated_at"
+        ),
+    )
+    return fold_manifest(ev)
+
+
+def _sql_manifest_fold() -> str:
+    def pmt(salt):
+        return (
+            f"CAST(('0x' || substring(md5('{salt}:' || trip), 1, 15)) "
+            "AS BIGINT)"
+        )
+
+    return f"""
+WITH g AS (
+    SELECT {_pm(21)} % 28 + 1 AS day_num,
+           {_pm(22)} % 16 AS bucket,
+           {_pm(23)} % 40 AS run_num
+    FROM generate_series(0, {_MF_N - 1}) AS s(i)
+), trips AS (
+    SELECT DISTINCT day_num, bucket, run_num,
+           day_num::VARCHAR || '|' || bucket::VARCHAR || '|'
+               || run_num::VARCHAR AS trip
+    FROM g
+), ev AS (
+    SELECT '2024-01-' || lpad(day_num::VARCHAR, 2, '0') AS day,
+           bucket,
+           CASE WHEN {pmt(31)} % 4 = 0 THEN 'closed' ELSE 'open' END
+               AS status,
+           {pmt(32)} % 1000 AS wm,
+           {pmt(33)} % 10000 AS rp,
+           {pmt(36)} % 9000 AS rr,
+           {pmt(34)} % 500 AS rs,
+           {pmt(35)} % 100 AS re,
+           make_timestamp((1704067200 + {pmt(37)} % 86400) * 1000000)
+               AS first_ts,
+           make_timestamp((1704067200 + {pmt(37)} % 86400
+                           + {pmt(38)} % 3600) * 1000000) AS last_ts,
+           'r' || run_num::VARCHAR AS run_id,
+           make_timestamp((1700000000 + run_num * 1000) * 1000000) AS upd
+    FROM trips
+)
+SELECT day, bucket,
+       CASE WHEN max(CASE WHEN status = 'closed' THEN 1 ELSE 0 END) = 1
+            THEN 'closed' ELSE 'open' END AS status,
+       max(wm) AS max_turn_watermark,
+       CAST(sum(rp) AS BIGINT) AS rows_processed,
+       CAST(sum(rr) AS BIGINT) AS rows_routed,
+       CAST(sum(rs) AS BIGINT) AS rows_skipped,
+       CAST(sum(re) AS BIGINT) AS rows_error,
+       min(first_ts) AS first_processed_ts,
+       max(last_ts) AS last_processed_ts,
+       arg_max(run_id, upd) AS run_id,
+       max(upd) AS updated_at
+FROM ev GROUP BY day, bucket
+"""
+
+
 def q_media_image_features(spark, sf):  # multimodal plumbing (stubbed decode)
     from commerce_logs_pipeline_spark.sources.multimodal import (
         extract_image_features,
@@ -1330,6 +1505,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "transcript_tool_rates": (q_transcript_tool_rates, _sql_tool_rates()),
     "transcript_status_class": (q_transcript_status_class, _sql_status_class()),
     "selector_classified_counts": (q_selector_classify, _sql_selector_classify()),
+    "blob_event_key_counts": (q_blob_event_keys, _sql_blob_event_keys()),
+    "manifest_fold_state": (q_manifest_fold, _sql_manifest_fold()),
     "media_image_features": (q_media_image_features, None),
 }
 

@@ -112,6 +112,7 @@ def write_sinks_single_pass(
     run_id: str = "run0",
     sinks: dict[str, list[str]] | None = None,
     n_buckets: int = N_BUCKETS,
+    write_salts: int = 4,
 ) -> dict[str, str]:
     """ONE write job, partitioned by (category, day, bucket): every sink
     lands in its category partition directories in a single pass over the
@@ -149,9 +150,18 @@ def write_sinks_single_pass(
         with_partition_cols(parsed, n_buckets)
         # hash-distribute on the partition keys before the write (the
         # Iceberg write.distribution-mode=hash analog): each task owns a
-        # set of (day,bucket) groups and writes one file per partition dir
-        # instead of every task spraying files into every dir
-        .repartition(n_tasks, F.col("day"), F.col("bucket"))
+        # small set of (day, bucket, salt) units and writes at most
+        # write_salts files per partition dir instead of every task
+        # spraying files into every dir. The conv-hash salt matters at
+        # scale: with tasks >> distinct (day,bucket) groups, hash
+        # collisions otherwise leave straggler tasks holding 2-3 whole
+        # groups while other cores idle (measured as the pass-1 tail at
+        # 4x8 executors).
+        .withColumn(
+            "_wsalt", F.pmod(F.xxhash64("conv_id"), F.lit(write_salts))
+        )
+        .repartition(n_tasks, F.col("day"), F.col("bucket"), F.col("_wsalt"))
+        .drop("_wsalt")
         .write.mode("overwrite")
         # static overwrite of this run's own dir (v2 task-side commit);
         # NEVER the serial dynamic-partition staging path

@@ -60,21 +60,7 @@ class ManifestStore:
 
     def current_state(self, spark: SparkSession) -> DataFrame:
         """Fold the event log into latest state per (day, bucket)."""
-        log = self._read_log(spark).dropDuplicates(KEY + ["run_id"])
-        return log.groupBy(*KEY).agg(
-            # status latch: closed wins and never reopens
-            F.when(F.max(F.when(F.col("status") == "closed", 1).otherwise(0)) == 1,
-                   F.lit("closed")).otherwise(F.lit("open")).alias("status"),
-            F.max("max_turn_watermark").alias("max_turn_watermark"),  # monotonic
-            F.sum("rows_processed").alias("rows_processed"),
-            F.sum("rows_routed").alias("rows_routed"),
-            F.sum("rows_skipped").alias("rows_skipped"),
-            F.sum("rows_error").alias("rows_error"),
-            F.min("first_processed_ts").alias("first_processed_ts"),
-            F.max("last_processed_ts").alias("last_processed_ts"),
-            F.max_by("run_id", "updated_at").alias("run_id"),  # latest-wins meta
-            F.max("updated_at").alias("updated_at"),
-        )
+        return fold_manifest(self._read_log(spark))
 
     def committed_runs(self, spark: SparkSession) -> DataFrame:
         """Every committed (day, bucket, run_id) triple in the log —
@@ -120,6 +106,31 @@ class ManifestStore:
             .filter(F.col("_wm").isNull() | (F.col(turn_col) > F.col("_wm")))
             .drop("_wm")
         )
+
+
+def fold_manifest(log: DataFrame) -> DataFrame:
+    """Pure fold of a completion-event log into latest state per
+    (day, bucket) — the compacted-topic replay semantics
+    (blob_state_processor.go:163-375): status latch (closed never reopens),
+    MONOTONIC watermark (max; worker.go:378-385 "never go backwards"),
+    summed counters, first/last observed, latest-wins run metadata.
+    Duplicate deliveries dedup on (day, bucket, run_id) first
+    (at-least-once + idempotent keys)."""
+    log = log.dropDuplicates(KEY + ["run_id"])
+    return log.groupBy(*KEY).agg(
+        # status latch: closed wins and never reopens
+        F.when(F.max(F.when(F.col("status") == "closed", 1).otherwise(0)) == 1,
+               F.lit("closed")).otherwise(F.lit("open")).alias("status"),
+        F.max("max_turn_watermark").alias("max_turn_watermark"),  # monotonic
+        F.sum("rows_processed").alias("rows_processed"),
+        F.sum("rows_routed").alias("rows_routed"),
+        F.sum("rows_skipped").alias("rows_skipped"),
+        F.sum("rows_error").alias("rows_error"),
+        F.min("first_processed_ts").alias("first_processed_ts"),
+        F.max("last_processed_ts").alias("last_processed_ts"),
+        F.max_by("run_id", "updated_at").alias("run_id"),  # latest-wins meta
+        F.max("updated_at").alias("updated_at"),
+    )
 
 
 def completion_events(

@@ -66,6 +66,34 @@ def test_streaming_restart_is_noop_after_drain(spark, input_dir, tmp_path):
     assert n1 == n2 == 4_000
 
 
+def test_backfill_then_tail(spark, tmp_path):
+    """T5 (service.go:220-299 analog): drain the historical backlog with
+    one availableNow run, then new files arrive and a SECOND run on the
+    SAME checkpoint ingests exactly the tail — no reprocessing, no gaps.
+    The incremental read across both phases equals one batch over the
+    union."""
+    from commerce_logs_pipeline_spark.operators.router import read_routed
+
+    inp = str(tmp_path / "in")
+    base = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # historical backlog: first 3k turns
+    backlog = generate_transcripts(spark, 5_000, partitions=4)
+    backlog.filter(F.col("turn_idx") < 3).write.mode("overwrite").parquet(inp)
+    n_backlog = backlog.filter(F.col("turn_idx") < 3).count()
+    q = run_streaming_pipeline(spark, inp, base, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert read_routed(spark, base, incremental=True).count() == n_backlog
+
+    # the "current day" keeps producing: new files land in the SAME dir
+    backlog.filter(F.col("turn_idx") >= 3).write.mode("append").parquet(inp)
+    q2 = run_streaming_pipeline(spark, inp, base, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    tailed = read_routed(spark, base, incremental=True)
+    assert tailed.count() == 5_000
+    assert tailed.select("conv_id", "turn_idx").distinct().count() == 5_000
+
+
 def test_streaming_session_close(spark, input_dir, tmp_path):
     stream = stream_transcripts(spark, input_dir)
     sessions = streaming_session_close(stream, gap="5 minutes")

@@ -47,13 +47,19 @@ mode = sys.argv[1]           # "standalone" | "local"
 level = int(sys.argv[2])     # executors (standalone) or cores (local)
 turns = int(sys.argv[3]); runs = int(sys.argv[4]); input_path = sys.argv[5]
 if mode == "standalone":
+    # shuffle partitions sized to the cluster (4 per core) — the same rule
+    # any real deployment applies when executors are added; a fixed count
+    # would understate the larger cluster (32 tasks over 96 (day,bucket)
+    # write groups leaves cores idle at 4x8)
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "8"))
     spark = build_session(
-        app_name=f"scaling-{{level}}x8",
+        app_name=f"scaling-{{level}}x{{exec_cores}}",
         master={master!r},
+        shuffle_partitions=4 * exec_cores * level,
         extra_conf={{
-            "spark.executor.cores": "8",
+            "spark.executor.cores": str(exec_cores),
             "spark.executor.memory": "16g",
-            "spark.cores.max": str(8 * level),
+            "spark.cores.max": str(exec_cores * level),
             "spark.local.dir": "/dev/shm/spark-local",
         }},
     )
@@ -137,7 +143,8 @@ def main() -> int:
     if mode == "standalone":
         levels = [int(x) for x in os.environ.get(
             "SPARK_GRAFT_EXECUTORS", "1,4").split(",")]
-        unit = "executors (x 8 cores, 16g heap each)"
+        ec = os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "8")
+        unit = f"executors (x {ec} cores, 16g heap each)"
     else:
         levels = [int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")]
