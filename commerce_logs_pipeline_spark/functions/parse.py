@@ -176,7 +176,17 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
             txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
         ),
     )
-    fmt2 = F.when(json_like, F.from_json(txt, FMT2_SCHEMA))
+    # fmt2 lines always carry one of these keys as a literal substring;
+    # the contains-prefilter skips the second JSON parse for fmt1 lines
+    # (~half the JSON rows). False positives (key text inside a fmt1
+    # value) only cost a parse that yields nulls — same semantics.
+    fmt2_like = json_like & (
+        txt.contains('"@timestamp"')
+        | txt.contains('"log')       # "log" and "logs"
+        | txt.contains('"time"')
+        | txt.contains('"stream"')
+    )
+    fmt2 = F.when(fmt2_like, F.from_json(txt, FMT2_SCHEMA))
 
     if use_pandas_grok:
         tool_struct = grok_udf(TOOL_CALL_PATTERN)(txt)
