@@ -883,16 +883,19 @@ def q_embedding_dups_lsh(spark, sf):
     )
 
 
-def _sql_embedding_dups_text() -> str:
+def _sql_plane_bits(n_planes: int, dim: int, vcol: str = "v") -> str:
     from commerce_logs_pipeline_spark.functions.similarity import plane_matrix
 
-    planes = plane_matrix(6, 64)
-    bits = "\n         + ".join(
-        "(CASE WHEN list_dot_product(v, ["
+    return "\n         + ".join(
+        f"(CASE WHEN list_dot_product({vcol}, ["
         + ",".join(str(s) for s in plane)
         + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
-        for p, plane in enumerate(planes)
+        for p, plane in enumerate(plane_matrix(n_planes, dim))
     )
+
+
+def _sql_embedding_dups_text() -> str:
+    bits = _sql_plane_bits(6, 64)
     return f"""
 WITH e AS (
     SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -913,6 +916,40 @@ WHERE round(list_dot_product(a.v, bb.v)
 
 
 SQL_EMBEDDING_DUPS = _sql_embedding_dups_text()
+
+
+def q_embedding_topk_lsh(spark, sf):  # ANN bulk path: bucketed approximate top-k
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann.lsh_topk(emb, queries, k=5, n_planes=6, dim=64)
+
+
+def _sql_emb_topk_lsh() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+    SELECT vec_id, v,
+           {_sql_plane_bits(6, 64)} AS bucket
+    FROM e
+), q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20
+), c AS (
+    SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b
+), s AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos
+    FROM c JOIN q USING (bucket)
+    WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, cos FROM s
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1168,12 +1205,76 @@ FROM chosen GROUP BY 2
 """
 
 
-def q_profile_fields(spark, sf):  # P-M field-frequency profiler
+def q_profile_fields(spark, sf):
+    """P-M field-frequency profiler over the WHOLE portable corpus
+    (sample_rows >= corpus makes the normally sample-based profiler
+    deterministic, so the oracle can re-derive every path count from the
+    dialect construction)."""
     from commerce_logs_pipeline_spark.functions.profile import (
         profile_json_fields,
     )
 
-    return profile_json_fields(_transcripts(spark), "text", sample_rows=1000)
+    return profile_json_fields(_transcripts(spark), "text", sample_rows=_TN)
+
+
+def _sql_profile_fields() -> str:
+    # per-dialect JSON key inventory (top-level + second-level paths), as
+    # constructed by synth.generate_transcripts — the profiler must
+    # recover exactly these counts. Dialect populations come from the d
+    # selector; bad_json (994<=d<998) and non-JSON rows don't parse.
+    apache_keys = [
+        "localServerName", "remoteHost", "requestFirstLine", "responseTime",
+        "status", "bytes", "referer", "userAgent", "cache status",
+        "remoteUser", "identdUsername", "time",
+    ]
+    paths: list[tuple[str, str]] = [
+        ("Logs", "n_http + n_app + n_dash + n_meth + n_nots"),
+        ("kubernetes", "n_http + n_apache + n_app + n_cont + n_dash"
+                       " + n_rtsp + n_meth + n_nots"),
+        ("@timestamp", "n_apache + n_cont + n_rtsp"),
+        ("logs", "n_apache + n_rtsp"),
+        ("stream", "n_cont"),
+        ("log", "n_cont"),
+        ("time", "n_cont"),
+        ("Logs.timeMillis", "n_http + n_dash + n_meth"),
+        ("Logs.contextMap", "n_http + n_dash + n_meth"),
+        ("Logs.thread", "n_http + n_app"),
+        ("Logs.instant", "n_app"),
+        ("Logs.level", "n_app + n_nots"),
+        ("Logs.loggerName", "n_app + n_nots"),
+        ("Logs.message", "n_app + n_nots"),
+        ("Logs.thrown", "n_app_err"),
+        ("kubernetes.pod_name", "n_http + n_apache + n_app + n_cont"
+                                " + n_dash + n_rtsp + n_meth + n_nots"),
+        ("kubernetes.pod_ip", "n_apache + n_rtsp"),
+    ] + [(f"logs.{k}", "n_apache + n_rtsp") for k in apache_keys]
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT '{p}' AS path, CAST({expr} AS BIGINT) AS n_present "
+        "FROM counts"
+        for p, expr in paths
+    )
+    return _sql_transcript_base() + f""", counts AS (
+    SELECT
+        count(*) FILTER (d < 250) AS n_http,
+        count(*) FILTER (d >= 250 AND d < 450) AS n_apache,
+        count(*) FILTER (d >= 450 AND d < 650) AS n_app,
+        count(*) FILTER (d >= 450 AND d < 650 AND level = 'ERROR')
+            AS n_app_err,
+        count(*) FILTER (d >= 650 AND d < 800) AS n_cont,
+        count(*) FILTER (d >= 970 AND d < 980) AS n_dash,
+        count(*) FILTER (d >= 980 AND d < 988) AS n_rtsp,
+        count(*) FILTER (d >= 988 AND d < 994) AS n_meth,
+        count(*) FILTER (d >= 998) AS n_nots
+    FROM g
+), p AS (
+{rows}
+)
+SELECT path, n_present,
+       round(n_present::DOUBLE /
+             (SELECT n_http + n_apache + n_app + n_cont + n_dash
+                     + n_rtsp + n_meth + n_nots FROM counts), 4) AS presence
+FROM p
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1452,13 +1553,44 @@ FROM ev GROUP BY day, bucket
 """
 
 
-def q_media_image_features(spark, sf):  # multimodal plumbing (stubbed decode)
+def q_media_image_features(spark, sf):
+    """Multimodal plumbing (decode stubbed behind a deterministic fake):
+    the mapInPandas Arrow path, schema, and byte-level features are real
+    and now VALUE-CHECKED — the oracle re-derives every feature from the
+    synthetic byte construction."""
     from commerce_logs_pipeline_spark.sources.multimodal import (
         extract_image_features,
         synth_media,
     )
 
     return extract_image_features(synth_media(spark, 96))
+
+
+def _sql_media_features() -> str:
+    # synth_media: content = md5('media-{i}').digest * (i%7+1); images at
+    # i%3=0. Byte mean/std are invariant under block repetition, so the
+    # stats derive from the 16 base digest bytes; the sha runs over the
+    # hex of the full repeated content.
+    return """
+WITH g AS (
+    SELECT i, i % 7 + 1 AS k, md5('media-' || i::VARCHAR) AS hx
+    FROM generate_series(0, 95) AS s(i) WHERE i % 3 = 0
+), f AS (
+    SELECT 'm-' || lpad(i::VARCHAR, 4, '0') AS media_id,
+           sha256(lower(hex(repeat(unhex(hx), k)))) AS content_sha,
+           CAST(16 * k AS BIGINT) AS n_bytes,
+           list_transform(generate_series(1, 16), j ->
+               CAST(('0x' || substring(hx, 2 * j - 1, 2)) AS INT)::DOUBLE)
+               AS l
+    FROM g
+)
+SELECT media_id, content_sha, n_bytes,
+       list_avg(l) AS feat_mean,
+       sqrt(list_avg(list_transform(l,
+            x -> (x - list_avg(l)) * (x - list_avg(l))))) AS feat_std,
+       224 AS resized_w, 224 AS resized_h
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1496,10 +1628,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
     "simhash_dups": (q_simhash_dups, SQL_SIMHASH),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
+    "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
     "trace_assembly": (q_trace_assembly, _sql_trace_assembly()),
-    "profile_json_fields": (q_profile_fields, None),
+    "profile_json_fields": (q_profile_fields, _sql_profile_fields()),
     "transcript_route_counts": (q_transcript_route_counts, _sql_route_counts()),
     "transcript_conv_counts": (q_transcript_conv_counts, _sql_conv_counts()),
     "transcript_tool_rates": (q_transcript_tool_rates, _sql_tool_rates()),
@@ -1507,7 +1640,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "selector_classified_counts": (q_selector_classify, _sql_selector_classify()),
     "blob_event_key_counts": (q_blob_event_keys, _sql_blob_event_keys()),
     "manifest_fold_state": (q_manifest_fold, _sql_manifest_fold()),
-    "media_image_features": (q_media_image_features, None),
+    "media_image_features": (q_media_image_features, _sql_media_features()),
 }
 
 

@@ -39,7 +39,14 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_dups",
     "embedding_topk_bruteforce",
+    "embedding_topk_lsh",
+    "embedding_dups_lsh",
+    "exact_dup_groups",
+    "doc_fingerprints",
+    "selector_classified_counts",
+    "transcript_status_class",
 ]
 
 PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "4000000"))

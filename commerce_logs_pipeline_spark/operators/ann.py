@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine, dot, plane_matrix
 from .windows import topk_per_group
 
 
@@ -53,28 +53,16 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec, n_planes: int = 8, seed: int = 7):
-    """Deterministic random-hyperplane LSH bucket id for array<float>."""
-    dim = F.size(vec)
+def hyperplane_bucket(vec, planes: list[list[float]]):
+    """Deterministic hyperplane LSH bucket id: sign pattern of dot products
+    against md5-seeded ±1 LITERAL planes (similarity.plane_matrix) — zero
+    per-row hash cost, reproducible in any engine."""
     bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda j: F.when(
-                        F.pmod(F.xxhash64(j.cast("string"), F.lit(p), F.lit(seed)), 2)
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, s: v * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        bucket = bucket + F.when(
+            dot(vec, lit_plane) >= 0, F.lit(2 ** p)
+        ).otherwise(F.lit(0))
     return bucket
 
 
@@ -86,6 +74,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     q_id_col: str = "vec_id",
     n_planes: int = 8,
+    dim: int = 64,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored.
@@ -94,12 +83,13 @@ def lsh_topk(
     shuffle join on a low-cardinality key with ~corpus/2^planes candidates
     per query.
     """
+    planes = plane_matrix(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes))
     q = queries.select(
         F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), n_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), planes))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .withColumn("cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4))

@@ -79,8 +79,12 @@ def extract_image_features(
                 )
             out = pd.DataFrame()
             out["media_id"] = pdf["media_id"]
+            # content id = sha256 of the LOWERCASE-HEX encoding of the
+            # bytes: byte-identical content maps to the same id, and an
+            # external SQL engine can reproduce it (sha256-over-varchar is
+            # universally available; sha256-over-blob is not)
             out["content_sha"] = pdf["content"].map(
-                lambda b: hashlib.sha256(b or b"").hexdigest()
+                lambda b: hashlib.sha256((b or b"").hex().encode()).hexdigest()
             )
             out["n_bytes"] = pdf["content"].map(lambda b: len(b or b"")).astype("int64")
             stats = pdf["content"].map(lambda b: _fake_decode(b or b""))

@@ -140,7 +140,7 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = df.filter("vec_id < 3")
     exact = ann.brute_force_topk(df, q, k=3)
-    approx = ann.lsh_topk(df, q, k=3, n_planes=4)
+    approx = ann.lsh_topk(df, q, k=3, n_planes=4, dim=4)
     # approximate results are valid (query, neighbor, cos) triples drawn
     # from the same scored space: every approx cos must be <= exact best
     emax: dict[int, float] = {}
