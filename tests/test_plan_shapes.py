@@ -1,0 +1,93 @@
+"""Physical-plan shape assertions — the scale contract, pinned by tests:
+filters reach the parquet scan, dims broadcast, the parse stage stays
+map-only (no shuffle), and scans prune to the referenced columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["filter_pushdown_revenue"](spark, SF))
+    assert "PushedFilters" in plan
+    # range + quantity predicates pushed into the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_scan_prunes_columns(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["filter_pushdown_revenue"](spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # a 2-measure aggregate over a 16-column table reads only what it needs
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_stage_is_map_only(spark, transcripts_10k, tmp_path):
+    """The parse kernel must introduce ZERO shuffles: at 100 TB it's an
+    embarrassingly parallel map over the scan (the synth generator's own
+    window shuffle is excluded by round-tripping through parquet)."""
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+
+    path = str(tmp_path / "t")
+    transcripts_10k.write.mode("overwrite").parquet(path)
+    plan = _plan(parse_transcripts(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+
+
+def test_enrich_stays_broadcast_and_map_only(spark, transcripts_10k, tmp_path):
+    from commerce_logs_pipeline_spark.functions.parse import parse_transcripts
+    from commerce_logs_pipeline_spark.plans.enrich import (
+        enrich_with_default_dims,
+    )
+
+    path = str(tmp_path / "t")
+    transcripts_10k.write.mode("overwrite").parquet(path)
+    plan = _plan(
+        enrich_with_default_dims(parse_transcripts(spark.read.parquet(path)))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are the tiny dims' broadcast exchanges
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
+
+
+def test_selector_filter_is_sargable(spark):
+    """F3 date-prefix narrowing pushes to the scan as a StartsWith."""
+    from commerce_logs_pipeline_spark.functions.selectors import (
+        filter_blobs_for_date,
+    )
+
+    df = spark.createDataFrame(
+        [("kubernetes/20250613.a_b_c-d.gz",)], "blob_name string"
+    )
+    path = str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "")
+    out = path + "/blobs_plan_test"
+    df.write.mode("overwrite").parquet(out)
+    plan = _plan(
+        filter_blobs_for_date(
+            spark.read.parquet(out), "apache-proxy", "20250613"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "StartsWith" in plan.split("PushedFilters")[1][:300]
