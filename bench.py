@@ -92,12 +92,18 @@ def main() -> int:
     input_path = f"/dev/shm/clp_bench_input_{PIPELINE_TURNS}_d{PIPELINE_DAYS}"
     prepare_pipeline_input(spark, PIPELINE_TURNS, input_path)
     transcripts = spark.read.parquet(input_path)
-    out_path = f"/tmp/clp_bench_out_{cpus}_{int(time.time())}"
-    t0 = time.monotonic()
-    report = run_pipeline(
-        spark, transcripts, out_path, resume=False, write_aggregates=True
-    )
-    pipeline_sec = round(time.monotonic() - t0, 3)
+    # best of 2 (same convention as tools/bench_scaling.py): the first run
+    # pays JIT/codegen warm-up for the pipeline path
+    pipeline_sec, report = None, None
+    for i in range(2):
+        out_path = f"/tmp/clp_bench_out_{cpus}_{int(time.time())}_{i}"
+        t0 = time.monotonic()
+        rep = run_pipeline(
+            spark, transcripts, out_path, resume=False, write_aggregates=True
+        )
+        sec = round(time.monotonic() - t0, 3)
+        if pipeline_sec is None or sec < pipeline_sec:
+            pipeline_sec, report = sec, rep
     timings["pipeline_end_to_end"] = pipeline_sec
 
     total = round(time.monotonic() - t_total0, 3)
