@@ -64,7 +64,11 @@ def prepare_pipeline_input(spark, turns: int, path: str,
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return
-    generate_transcripts(spark, turns, n_days=n_days).write.mode(
+    # explicit partition count: the input's file/split layout must not
+    # inherit the GENERATING session's core count, or a small session
+    # would write few big row groups and cap read parallelism for every
+    # later consumer (measured: a 2-core generator halved 8-core runs)
+    generate_transcripts(spark, turns, n_days=n_days, partitions=64).write.mode(
         "overwrite"
     ).parquet(path)
 
