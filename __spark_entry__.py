@@ -691,9 +691,12 @@ _NGRAM_MAX_BUCKET = 5  # exercises the hot-shingle guard at sf0.01 (max freq 7)
 
 
 def q_ngram_jaccard(spark, sf):
+    # hash_shingles=False: the DuckDB oracle joins on exact shingle
+    # strings, so the Spark side keys the inverted index the same way
+    # (production default keys on xxhash64(shingle) — see bench.py)
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), k=3, threshold=0.18,
-        max_bucket=_NGRAM_MAX_BUCKET,
+        max_bucket=_NGRAM_MAX_BUCKET, hash_shingles=False,
     )
 
 
@@ -723,9 +726,12 @@ _MH_BUCKET = 200
 
 
 def q_minhash_lsh(spark, sf):
+    # portable=True: the md5 hash family end-to-end so DuckDB reproduces
+    # signatures and buckets exactly (production default is xxhash64 —
+    # statistically equivalent candidates; see bench.py)
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), k=3, n_hashes=8, bands=4,
-        verify_threshold=0.15, max_bucket=_MH_BUCKET,
+        verify_threshold=0.15, max_bucket=_MH_BUCKET, portable=True,
     )
 
 

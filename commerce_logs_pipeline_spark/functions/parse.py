@@ -151,6 +151,23 @@ def _dash_to_zero(col: Column) -> Column:
     )
 
 
+def fmt2_prefilter(txt: Column) -> Column:
+    """fmt2 lines always carry one of these keys as a literal substring;
+    this contains-prefilter skips the second JSON parse for fmt1 lines
+    (~half the JSON rows). The CLOSING quote is part of each needle: a
+    bare '"log' prefix also matches fmt1's "loggerName" (present in every
+    app line) and sends ~20% of the corpus through the second from_json
+    for nothing. False positives (key text inside a fmt1 value) only cost
+    a parse that yields nulls — same semantics."""
+    return (
+        txt.contains('"@timestamp"')
+        | txt.contains('"logs"')
+        | txt.contains('"log"')
+        | txt.contains('"time"')
+        | txt.contains('"stream"')
+    )
+
+
 def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     """Parse + classify every turn into the superset PARSED_SCHEMA frame.
 
@@ -176,16 +193,7 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
             txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
         ),
     )
-    # fmt2 lines always carry one of these keys as a literal substring;
-    # the contains-prefilter skips the second JSON parse for fmt1 lines
-    # (~half the JSON rows). False positives (key text inside a fmt1
-    # value) only cost a parse that yields nulls — same semantics.
-    fmt2_like = json_like & (
-        txt.contains('"@timestamp"')
-        | txt.contains('"log')       # "log" and "logs"
-        | txt.contains('"time"')
-        | txt.contains('"stream"')
-    )
+    fmt2_like = json_like & fmt2_prefilter(txt)
     fmt2 = F.when(fmt2_like, F.from_json(txt, FMT2_SCHEMA))
 
     if use_pandas_grok:

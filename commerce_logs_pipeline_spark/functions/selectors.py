@@ -202,12 +202,19 @@ def generate_blob_event_key(
     subscription: Column, environment: Column, event_type: Column,
     blob_name: Column,
 ) -> Column:
-    """``{sub}:{env}:{eventType}:{blob}`` with ``kubernetes/`` stripped."""
+    """``{sub}:{env}:{eventType}:{blob}`` with ``kubernetes/`` stripped.
+
+    F.concat (not concat_ws): concat_ws silently SKIPS null parts, so a
+    null environment would yield a shifted 3-part key that misparses as a
+    different (valid-looking) assignment. concat propagates null — a key
+    with a missing component is no key at all (keys.go:19-28 formats from
+    required struct fields; null is the closest Spark analog of absent)."""
     clean = F.when(
         blob_name.startswith("kubernetes/"),
         F.substring(blob_name, F.lit(12), F.length(blob_name)),
     ).otherwise(blob_name)
-    return F.concat_ws(":", subscription, environment, event_type, clean)
+    sep = F.lit(":")
+    return F.concat(subscription, sep, environment, sep, event_type, sep, clean)
 
 
 def parse_blob_event_key(key: Column) -> Column:

@@ -73,11 +73,19 @@ def minhash_consts(n_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature in ONE pass: hash each shingle once (md5 base,
+def minhash_signature(
+    shingle_arr: Column, n_hashes: int = 16, portable: bool = False
+) -> Column:
+    """MinHash signature in ONE pass: hash each shingle once (base hash,
     mod 2^31-1), then fold the hash array accumulating per-seed minima of
     (a_s*x + b_s) mod (2^61-1). Empty shingle set -> all-P2 sentinel
-    (callers filter empties upstream)."""
+    (callers filter empties upstream).
+
+    portable=False (production default): xxhash64 base — pure JVM, no
+    string materialization. portable=True: md5-derived base so an external
+    SQL oracle reproduces signatures bit-for-bit (same flag discipline as
+    with_simhash). Both families give statistically equivalent minwise
+    estimates; they just generate different (valid) candidate sets."""
     consts = minhash_consts(n_hashes)
     ab = F.array(
         *[
@@ -85,7 +93,11 @@ def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
             for a, b in consts
         ]
     )
-    hashed = F.transform(shingle_arr, lambda t: portable_hash64(t, 0) % UH_P1)
+    if portable:
+        base = lambda t: portable_hash64(t, 0) % UH_P1  # noqa: E731
+    else:
+        base = lambda t: F.pmod(F.xxhash64(t), F.lit(UH_P1))  # noqa: E731
+    hashed = F.transform(shingle_arr, base)
     init = F.array_repeat(F.lit(UH_P2).cast("long"), n_hashes)
     return F.aggregate(
         hashed,

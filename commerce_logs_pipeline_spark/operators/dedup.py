@@ -20,6 +20,15 @@ Scale notes: every strategy avoids O(n^2): inverted index / LSH buckets /
 block keys bound the candidate set. Bucket-join skew (a hot shingle shared
 by everything) is capped with a max-bucket-size filter, the same hot-key
 discipline as operators/skew.py.
+
+Cache contract: the self-join operators persist their first-stage products
+(shingle base / banded / fingerprint frames) because a plan-tree reference
+re-executes the subtree otherwise. The persisted frames stay registered in
+the session's CacheManager until the caller releases them — callers that
+invoke these operators repeatedly in one long-lived session should
+``spark.catalog.clearCache()`` (or unpersist) after materializing each
+result, or storage accumulates (bench.py does exactly this between
+queries).
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ from ..functions.similarity import (
     with_simhash,
 )
 from ..functions.text import content_md5, shingles_from_tokens, tokens
+from ..util import ensure_min_partitions
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -44,10 +54,9 @@ def _spread(df: DataFrame) -> DataFrame:
     task — measured 20s single-task vs <1s spread for the simhash kernel
     over a one-file parquet corpus. No-op at real scale where inputs carry
     >= cores splits."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    return ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
@@ -108,6 +117,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs via shingle inverted index.
 
@@ -116,6 +126,13 @@ def ngram_jaccard_pairs(
     Only pairs sharing >=1 shingle are materialized. ``max_bucket`` drops
     degenerate ubiquitous shingles (stopword-like), the skew guard.
 
+    hash_shingles=True (production): the inverted index keys on
+    xxhash64(shingle) — an 8-byte join key instead of a k-word string,
+    cutting exchange volume several-fold. Collisions conflate two shingles
+    with probability ~n_distinct^2/2^64 (vanishing; and an ε overcount in
+    ``common``, not a crash). hash_shingles=False keeps the exact string
+    key for external-oracle parity.
+
     The Jaccard is computed over the FILTERED shingle universe: per-doc
     sizes are re-counted after the hot-shingle drop so numerator and
     denominator agree (counting the full set against a filtered common
@@ -123,7 +140,12 @@ def ngram_jaccard_pairs(
     contain hot shingles).
     """
     sh = _shingled(df, text_col, id_col, k)
-    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    shingle_key = (
+        F.xxhash64(F.col("_s")) if hash_shingles else F.col("_s")
+    )
+    exploded = sh.select("id", F.explode("sh").alias("_s")).select(
+        "id", shingle_key.alias("shingle")
+    )
     # skew guard: drop shingles present in too many docs (stopword-like
     # shingles make the self-join quadratic — a hot shingle in f docs
     # yields f^2 candidate rows)
@@ -171,12 +193,17 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float | None = 0.7,
     max_bucket: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs (optionally verified with exact Jaccard).
 
-    signature(n universal hashes over one md5 base per shingle) -> bands ->
-    band-hash buckets -> self-join within buckets. Sub-quadratic: cost ~
+    signature(n universal hashes over one base hash per shingle) -> bands
+    -> band-hash buckets -> self-join within buckets. Sub-quadratic: cost ~
     sum over buckets of bucket^2, bounded by ``max_bucket``.
+
+    portable=False (production): xxhash64 base + band hashes — no md5 in
+    the hot loop. portable=True: the md5 family end-to-end so an external
+    SQL oracle reproduces signatures AND buckets bit-for-bit.
 
     Shuffle discipline: the band self-join carries ONLY (band, bucket, id)
     — at corpus scale the shingle arrays dominate row width, so they are
@@ -185,28 +212,28 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     # base feeds the signature AND both verify re-attach joins; banded
-    # self-joins against itself — persist both so the tokenize/shingle/md5
+    # self-joins against itself — persist both so the tokenize/shingle/hash
     # work is paid once (plan-tree references re-execute, they don't share)
     base = _shingled(df, text_col, id_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    sig = base.withColumn(
+        "sig", minhash_signature(F.col("sh"), n_hashes, portable=portable)
+    )
 
-    # portable band key: md5 of the comma-joined signature slice, so the
-    # DuckDB oracle can reproduce buckets exactly (F.hash is Spark-only)
+    # band key over the signature slice: md5 of the comma-joined values in
+    # portable mode (DuckDB-reproducible); xxhash64 over the slice itself
+    # otherwise (no string materialization; F.hash/xxhash64 are Spark-only)
+    def band_key(bi: int) -> Column:
+        sl = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.md5(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl).cast("string")
+
     band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bucket"))
         for bi in range(bands)
     ]
     banded = sig.select(

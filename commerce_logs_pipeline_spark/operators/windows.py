@@ -31,19 +31,36 @@ def latest_per_key(
     )
 
 
-def _invertible_sort_key(col: Column, dtype: str) -> Column | None:
-    """A numeric key whose negation inverts the type's natural order, or
-    None when the type has no such mapping (strings, arrays, ...)."""
-    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") \
-            or dtype.startswith("decimal"):
-        return col
-    if dtype == "timestamp":
-        return F.unix_micros(col)
-    if dtype == "date":
-        return F.datediff(col, F.to_date(F.lit("1970-01-01")))
-    if dtype == "boolean":
-        return col.cast("int")
-    return None
+def _invertible_sort_key(
+    col: Column, dtype: str, ascending: bool
+) -> Column | None:
+    """A numeric key whose ordering matches the requested direction of the
+    type's natural order, or None when no safe mapping exists.
+
+    Descending integral keys use bitwise NOT (~x = -x-1): an order-
+    inverting bijection on int64 with NO overflow — arithmetic negation
+    raises ARITHMETIC_OVERFLOW for Long.MIN_VALUE under ANSI. Descending
+    float/double returns None (window fallback): NaN negates to NaN, so a
+    negated two-phase sort would put NaN last while the window path's
+    F.desc puts NaN first. Ascending float/double is safe — Spark orders
+    NaN greatest in both sort_array and window sorts.
+    """
+    if dtype in ("float", "double"):
+        return col if ascending else None
+    if dtype.startswith("decimal"):
+        # decimal ranges are symmetric: negation never overflows
+        return col if ascending else -col
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        key = col.cast("long")
+    elif dtype == "timestamp":
+        key = F.unix_micros(col)
+    elif dtype == "date":
+        key = F.datediff(col, F.to_date(F.lit("1970-01-01"))).cast("long")
+    elif dtype == "boolean":
+        key = col.cast("long")
+    else:
+        return None
+    return key if ascending else F.bitwise_not(key)
 
 
 def topk_per_group(
@@ -65,8 +82,10 @@ def topk_per_group(
     window path, whose sort dominates for wide groups) and the final merge
     touches only O(groups * partitions * k) rows. Hot-group map memory is
     bounded by input-partition size, not group size. Descending order is
-    expressed by negating an order-isomorphic numeric key; types without
-    one (e.g. strings) fall back to the window path automatically.
+    expressed by an order-inverting numeric key (bitwise NOT for integral
+    types — overflow-free); types without a safe mapping (strings,
+    descending float/double where NaN breaks inversion) fall back to the
+    window path automatically.
     two_phase=False: plain window row_number (full shuffle + per-group
     sort).
     """
@@ -82,8 +101,10 @@ def topk_per_group(
         )
 
     oc = F.col(order_col)
-    base_key = _invertible_sort_key(oc, dict(df.dtypes)[order_col])
-    if base_key is None:
+    directed_key = _invertible_sort_key(
+        oc, dict(df.dtypes)[order_col], ascending
+    )
+    if directed_key is None:
         return topk_per_group(
             df, group_cols, order_col, k, ascending, tiebreak, two_phase=False
         )
@@ -94,9 +115,7 @@ def topk_per_group(
     null_rank = F.when(
         oc.isNull(), F.lit(0 if ascending else 1)
     ).otherwise(F.lit(1 if ascending else 0))
-    keyval = F.when(oc.isNull(), F.lit(0)).otherwise(
-        base_key if ascending else -base_key
-    )
+    keyval = F.when(oc.isNull(), F.lit(0)).otherwise(directed_key)
 
     data_cols = [c for c in df.columns if c not in group_cols]
     packed = F.struct(

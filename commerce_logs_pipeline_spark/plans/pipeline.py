@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.parse import parse_transcripts
 from ..schemas import CATEGORIES
+from ..util import ensure_min_partitions
 from ..operators.router import (
     DEFAULT_SINKS,
     check_conservation,
@@ -110,8 +111,7 @@ def run_pipeline(
     # faster parse at 32 cores on skewed 33-partition input). No-op-ish at
     # real scale where inputs carry balanced >= 2x-cores partitions.
     cores = spark.sparkContext.defaultParallelism
-    if transcripts.rdd.getNumPartitions() < cores * 2:
-        transcripts = transcripts.repartition(cores * 2)
+    transcripts = ensure_min_partitions(transcripts, cores * 2)
 
     part_input = with_partition_cols(transcripts)
     todo = manifest.pending(spark, part_input) if resume else part_input

@@ -33,6 +33,31 @@ def iceberg_jar_available() -> bool:
         return False
 
 
+def _synthesized_master(environ=os.environ) -> str | None:
+    """``local[$SPARK_GRAFT_CPUS]`` when this process is genuinely
+    standalone, else None (never stomp a cluster submit).
+
+    spark-submit runs python apps as a child of an already-launched JVM
+    gateway and exports PYSPARK_GATEWAY_PORT into the child env — the
+    gateway's system properties carry --master. Critically, that cannot be
+    detected with ``SparkConf(loadDefaults=True).contains("spark.master")``
+    alone: before any SparkContext attaches, PySpark's SparkConf silently
+    degrades to an empty python dict (pyspark 4.1: SparkContext._jvm is
+    None => loadDefaults ignored), so the contains() check would ALWAYS
+    say "no master" in a fresh spark-submit driver and override the
+    cluster master with local[N]."""
+    if "PYSPARK_GATEWAY_PORT" in environ:  # spark-submit / pyspark shell
+        return None
+    from pyspark import SparkConf, SparkContext
+
+    if SparkContext._jvm is not None and SparkConf(loadDefaults=True).contains(
+        "spark.master"
+    ):  # a JVM this process already launched carries a master
+        return None
+    cpus = environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
 def build_session(
     app_name: str = "commerce-logs-pipeline-spark",
     master: str | None = None,
@@ -44,18 +69,12 @@ def build_session(
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
     same entry point serves tests, bench at N cores, and bench at 4N cores.
-    On a real cluster, pass master=None: spark-submit's --master (visible as
-    ``spark.master`` in the loaded defaults) wins and we never override it.
+    On a real cluster, pass master=None: spark-submit's --master wins and we
+    never override it (detected via the gateway env — see
+    ``_synthesized_master`` for why SparkConf alone cannot detect it).
     """
     if master is None:
-        from pyspark import SparkConf
-
-        # spark-submit/--master lands in the JVM system properties, which
-        # SparkConf(loadDefaults=True) reads. Only synthesize a local master
-        # when nothing provided one — never stomp a cluster submit.
-        if not SparkConf(loadDefaults=True).contains("spark.master"):
-            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-            master = f"local[{cpus}]"
+        master = _synthesized_master()
     b = SparkSession.builder.appName(app_name)
     if master is not None and master.startswith("local"):
         # In local mode the driver JVM hosts all executor threads; the 1g

@@ -200,3 +200,21 @@ def test_blob_event_keys_roundtrip(spark):
         S.parse_blob_event_key(F.col("key")).alias("p")
     ).collect()[0].p
     assert bad.valid is False and bad.subscription is None
+
+
+def test_blob_event_key_null_component_propagates(spark):
+    """A null component must yield a NULL key, not a silently-shifted
+    3-part key (concat_ws skips nulls; concat propagates them)."""
+    df = spark.createDataFrame(
+        [("sub1", None, "line-http", "a.gz"),
+         (None, "prod", "line-http", "a.gz"),
+         ("sub1", "prod", None, "a.gz"),
+         ("sub1", "prod", "line-http", None)],
+        "sub string, env string, et string, blob string",
+    )
+    keys = df.select(
+        S.generate_blob_event_key(
+            F.col("sub"), F.col("env"), F.col("et"), F.col("blob")
+        ).alias("key")
+    ).collect()
+    assert all(r.key is None for r in keys)

@@ -75,6 +75,43 @@ def test_topk_two_phase_null_order_parity(spark):
         ), asc
 
 
+def test_topk_bigint_extremes_no_overflow(spark):
+    """Long.MIN_VALUE in a descending two-phase top-k: arithmetic negation
+    would raise ARITHMETIC_OVERFLOW under ANSI; the bitwise-NOT key must
+    not — and must stay on the two-phase (non-window) path."""
+    lo, hi = -(2 ** 63), 2 ** 63 - 1
+    rows = [("g", 1, lo), ("g", 2, hi), ("g", 3, 0), ("g", 4, -5), ("g", 5, 7)]
+    df = spark.createDataFrame(rows, "grp string, id int, v bigint")
+    for asc in [True, False]:
+        a = windows.topk_per_group(df, ["grp"], "v", 2, ascending=asc,
+                                   tiebreak="id", two_phase=True)
+        assert "Window" not in a._jdf.queryExecution().executedPlan().toString()
+        b = windows.topk_per_group(df, ["grp"], "v", 2, ascending=asc,
+                                   tiebreak="id", two_phase=False)
+        assert sorted((r.id, r.v) for r in a.collect()) == sorted(
+            (r.id, r.v) for r in b.collect()
+        ), asc
+
+
+def test_topk_double_nan_parity(spark):
+    """NaN order columns: Spark sorts NaN greatest. Descending double
+    negates NaN to NaN (would sort it last instead of first), so that case
+    must fall back to the window path; ascending stays two-phase. Both
+    must match the window reference."""
+    nan = float("nan")
+    rows = [("g", 1, 5.0), ("g", 2, nan), ("g", 3, 1.0), ("g", 4, nan),
+            ("g", 5, 9.0), ("g", 6, None)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    for asc in [True, False]:
+        a = windows.topk_per_group(df, ["grp"], "v", 3, ascending=asc,
+                                   tiebreak="id", two_phase=True)
+        b = windows.topk_per_group(df, ["grp"], "v", 3, ascending=asc,
+                                   tiebreak="id", two_phase=False)
+        assert sorted(r.id for r in a.collect()) == sorted(
+            r.id for r in b.collect()
+        ), asc
+
+
 def test_asof_duplicate_timestamps_natural_key(spark):
     """Two left rows with identical (key, ts) must EACH get exactly one
     match when identified by a natural left_id — no merge, no duplication."""
