@@ -246,6 +246,148 @@ def vacuum_uncommitted(spark, pipeline_base: str) -> list[str]:
     return removed
 
 
+def compact_routed(
+    spark,
+    pipeline_base: str,
+    run_id: str | None = None,
+) -> dict:
+    """Rewrite-small-files / consolidate-snapshots maintenance op — the
+    Iceberg ``rewrite_data_files`` analog (SURVEY §4 X9) on the
+    snapshot-dir protocol. Incremental ingestion legitimately fragments a
+    partition: every committed chunk is its own ``runid=`` dir, so a
+    (day, bucket) closed after N chunk commits carries N small file sets
+    (and is only readable via the incremental union). This op rewrites
+    each such CLOSED partition's full committed row set (union across its
+    chunk runs) into a fresh run dir with ONE file per
+    (category, day, bucket) dir, then commits via a zero-count manifest
+    event: fold sums stay exact, the null watermark keeps the monotonic
+    max, the closed latch stays closed, and latest-wins run metadata flips
+    authoritative BATCH reads to the compacted copy — after which batch
+    reads are correct for chunk-committed partitions too, not just
+    whole-partition runs. Open partitions are skipped (tails still grow).
+
+    Selection: a closed partition compacts when its committed rows span
+    >1 run dir, or any of its partition dirs holds >1 file. Already-minimal
+    partitions are untouched (idempotent).
+
+    Commit safety is inherited from the write protocol: a crash before the
+    manifest append leaves an orphan run dir that ``vacuum_uncommitted``
+    removes; readers never see it. The superseded chunk dirs stay on disk
+    (incremental readers of OTHER partitions are unaffected; incremental
+    reads of compacted partitions would double-count) — reclaim them with
+    ``vacuum_superseded(spark, base, run_id)``, after which batch and
+    incremental reads agree.
+
+    Scale: one shuffle of the compacted partitions' rows, hash-distributed
+    on the partition key so each (category, day, bucket) group lands in
+    exactly one task => exactly one output file; the driver only ever
+    handles manifest-sized partition lists and file metadata.
+
+    Returns {"run_id", "partitions", "files_before", "files_after"}.
+    """
+    from pathlib import Path
+
+    from ..plans.checkpoint import ManifestStore, new_run_id
+
+    manifest = ManifestStore(f"{pipeline_base}/_manifest")
+    state = manifest.current_state(spark)
+    closed = [
+        (r["day"], r["bucket"])
+        for r in state.filter(F.col("status") == "closed").collect()
+    ]
+    root = Path(pipeline_base) / "sinks" / "routed"
+
+    def layout(day: str, bucket) -> tuple[list[Path], set[Path], set[str]]:
+        files = list(
+            root.glob(f"runid=*/category=*/day={day}/bucket={bucket}/*.parquet")
+        )
+        dirs = {p.parent for p in files}
+        runs = {p.parts[len(root.parts)].split("=", 1)[1] for p in files}
+        return files, dirs, runs
+
+    todo, files_before = [], 0
+    for day, bucket in closed:
+        files, dirs, runs = layout(day, bucket)
+        if len(runs) > 1 or len(files) > len(dirs):
+            todo.append((day, bucket))
+            files_before += len(files)
+    if not todo:
+        return {"run_id": None, "partitions": 0, "files_before": 0,
+                "files_after": 0}
+
+    run_id = run_id or f"compact{new_run_id()[:8]}"
+    # incremental union = every committed chunk of the partition; for a
+    # closed partition that IS its complete row set (chunks are disjoint
+    # by the per-conversation resume filter)
+    all_committed = read_routed(spark, pipeline_base, incremental=True)
+    part_key = F.concat_ws(
+        "\x1f", F.col("day"), F.col("bucket").cast("string")
+    )
+    keys = [f"{d}\x1f{b}" for d, b in todo]
+    (
+        all_committed.filter(part_key.isin(keys))
+        # one task per (category, day, bucket) group -> one file per dir
+        .repartition(F.col("category"), F.col("day"), F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("category", "day", "bucket")
+        .parquet(f"{root}/runid={run_id}")
+    )
+    events = spark.createDataFrame(
+        [(d, b, "closed", None, 0, 0, 0, 0, None, None, run_id)
+         for d, b in todo],
+        "day string, bucket int, status string, max_turn_watermark long, "
+        "rows_processed long, rows_routed long, rows_skipped long, "
+        "rows_error long, first_processed_ts timestamp, "
+        "last_processed_ts timestamp, run_id string",
+    ).withColumn("updated_at", F.current_timestamp())
+    manifest.append(events)
+    files_after = len(
+        list(root.glob(f"runid={run_id}/category=*/day=*/bucket=*/*.parquet"))
+    )
+    return {"run_id": run_id, "partitions": len(todo),
+            "files_before": files_before, "files_after": files_after}
+
+
+def vacuum_superseded(spark, pipeline_base: str, compacted_run_id: str
+                      ) -> list[str]:
+    """Delete the (runid, day, bucket) subtrees that a committed compaction
+    run superseded — the remove-orphan-files half of snapshot maintenance.
+    Deliberately scoped to partitions whose AUTHORITATIVE run is
+    ``compacted_run_id``: only a compaction run is guaranteed to contain a
+    partition's complete row set, so deleting other runs' subtrees there
+    can never lose rows (an unscoped "delete non-authoritative dirs" would
+    destroy earlier chunks of chunk-committed partitions). After this,
+    batch and incremental reads of those partitions resolve identically.
+    Returns removed paths."""
+    import shutil
+    from pathlib import Path
+
+    from ..plans.checkpoint import ManifestStore
+
+    manifest = ManifestStore(f"{pipeline_base}/_manifest")
+    owned = {
+        (r["day"], r["bucket"])
+        for r in manifest.current_state(spark)
+        .filter(
+            (F.col("status") == "closed")
+            & (F.col("run_id") == compacted_run_id)
+        )
+        .collect()
+    }
+    removed = []
+    root = Path(pipeline_base) / "sinks" / "routed"
+    if root.exists():
+        for d in root.glob("runid=*/category=*/day=*/bucket=*"):
+            rid = d.parts[-4].split("=", 1)[1]
+            day = d.parts[-2].split("=", 1)[1]
+            bucket = int(d.parts[-1].split("=", 1)[1])
+            if rid != compacted_run_id and (day, bucket) in owned:
+                shutil.rmtree(d)
+                removed.append(str(d))
+    return removed
+
+
 def write_sinks(
     result: RouteResult,
     base_path: str,

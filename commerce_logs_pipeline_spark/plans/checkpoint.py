@@ -75,36 +75,82 @@ class ManifestStore:
         spark: SparkSession,
         partitioned_input: DataFrame,
         turn_col: str = "turn_idx",
+        routed_path: str | None = None,
+        stream_col: str = "conv_id",
     ) -> DataFrame:
         """Rows still needing ingestion — TWO granularities, mirroring the
         reference's resume ladder (worker.go:346-351 partition skip +
         processor.go:86-116 mid-blob offset resume):
 
         - CLOSED (day, bucket) partitions drop entirely (anti-join);
-        - OPEN partitions with a recorded watermark resume MID-PARTITION:
-          only rows with ``turn_col > max_turn_watermark`` flow. The
-          watermark contract is the append-only tail model — a committed
-          chunk contains every turn with turn_idx <= w for all
-          conversations in the partition (the analog of a blob's
-          lastIngestedOffset: new lines only ever append);
-        - unseen partitions flow whole.
+        - OPEN partitions resume MID-PARTITION at PER-CONVERSATION
+          granularity when ``routed_path`` is given: the committed output
+          of the open partitions is scanned (two slim columns, partition-
+          pruned to the open tail) for each conversation's max ingested
+          ``turn_col``, and only rows beyond their own conversation's
+          watermark flow. This is the exact analog of the reference's
+          per-blob ``lastIngestedOffset`` (one offset per stream, not per
+          partition): conversations that advance unevenly within one
+          (day, bucket) partition never lose rows to a partition-wide max.
+        - with ``routed_path=None`` the coarser partition-level watermark
+          applies (``turn_col > max_turn_watermark``) — safe only under a
+          uniform-tail contract where every committed chunk carries all
+          conversations of the partition to the same turn depth;
+        - unseen partitions / unseen conversations flow whole.
 
-        Both manifest sides are tiny (one row per partition) -> broadcast.
+        Scale: the manifest sides are tiny (one row per partition) ->
+        broadcast; the per-conversation watermark frame is one row per
+        conversation in the OPEN partitions only (the recent tail, a sliver
+        of the table) and joins distributed — never collected.
         """
         state = self.current_state(spark)
         closed = state.filter(F.col("status") == "closed").select(*KEY)
-        open_wm = (
-            state.filter(
-                (F.col("status") == "open")
-                & F.col("max_turn_watermark").isNotNull()
-            )
-            .select(*KEY, F.col("max_turn_watermark").alias("_wm"))
-        )
         out = partitioned_input.join(F.broadcast(closed), on=KEY, how="left_anti")
+
+        open_rows = state.filter(F.col("status") == "open").select(*KEY).collect()
+        if not open_rows:
+            return out
+        if routed_path is None:
+            open_wm = (
+                state.filter(
+                    (F.col("status") == "open")
+                    & F.col("max_turn_watermark").isNotNull()
+                )
+                .select(*KEY, F.col("max_turn_watermark").alias("_wm"))
+            )
+            return (
+                out.join(F.broadcast(open_wm), on=KEY, how="left")
+                .filter(F.col("_wm").isNull() | (F.col(turn_col) > F.col("_wm")))
+                .drop("_wm")
+            )
+
+        # per-conversation watermarks from the committed snapshot dirs of
+        # the open partitions (manifest-sized driver data selects the dirs;
+        # the scan itself reads only (stream, turn) + partition columns)
+        open_set = {(r["day"], r["bucket"]) for r in open_rows}
+        triples = [
+            f"{r['run_id']}\x1f{r['day']}\x1f{r['bucket']}"
+            for r in self.committed_runs(spark).collect()
+            if (r["day"], r["bucket"]) in open_set
+        ]
+        if not triples:
+            return out
+        try:
+            routed = spark.read.parquet(routed_path)
+        except AnalysisException:
+            return out  # nothing ever written: everything is pending
+        rkey = F.concat_ws(
+            "\x1f", F.col("runid"), F.col("day"), F.col("bucket").cast("string")
+        )
+        conv_wm = (
+            routed.filter(rkey.isin(triples))
+            .groupBy(*KEY, stream_col)
+            .agg(F.max(turn_col).alias("_cwm"))
+        )
         return (
-            out.join(F.broadcast(open_wm), on=KEY, how="left")
-            .filter(F.col("_wm").isNull() | (F.col(turn_col) > F.col("_wm")))
-            .drop("_wm")
+            out.join(conv_wm, on=KEY + [stream_col], how="left")
+            .filter(F.col("_cwm").isNull() | (F.col(turn_col) > F.col("_cwm")))
+            .drop("_cwm")
         )
 
 

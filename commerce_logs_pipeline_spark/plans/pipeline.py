@@ -114,7 +114,13 @@ def run_pipeline(
     transcripts = ensure_min_partitions(transcripts, cores * 2)
 
     part_input = with_partition_cols(transcripts)
-    todo = manifest.pending(spark, part_input) if resume else part_input
+    todo = (
+        manifest.pending(
+            spark, part_input, routed_path=f"{base_path}/sinks/routed"
+        )
+        if resume
+        else part_input
+    )
 
     if resume:
         # cheap pre-flight: which (day, bucket) partitions does this run

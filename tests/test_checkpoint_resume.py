@@ -180,6 +180,39 @@ def test_offset_level_resume_within_open_partition(spark, tmp_path):
     assert state.agg(F.min("max_turn_watermark")).collect()[0][0] >= 2
 
 
+def test_uneven_conversation_resume_no_data_loss(spark, tmp_path):
+    """Conversations in ONE (day,bucket) partition advance unevenly: conv A
+    commits turns 0..4 while conv B commits only turn 0. A partition-wide
+    max watermark (4) would silently drop conv B's turns 1..4 on resume as
+    "already ingested" — the per-conversation watermark must not. This is
+    the reference's per-blob lastIngestedOffset semantics (one offset per
+    stream, processor.go:86-116), which makes no uniform-tail assumption."""
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 4_000, partitions=4)
+
+    # uneven committed prefix: even-hash conversations are 5 turns deep,
+    # odd-hash conversations only 1 turn deep
+    deep = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    chunk1 = full.filter(
+        (deep & (F.col("turn_idx") <= 4)) | (~deep & (F.col("turn_idx") <= 0))
+    )
+    n1 = chunk1.count()
+    rep1 = run_pipeline(spark, chunk1, base, run_id="chunk1",
+                        close_partitions=False)
+    assert rep1.rows_in == n1
+
+    # resume over the full input: exactly the complement must flow —
+    # including odd-conv turns 1..4 that sit BELOW the partition max
+    rep2 = run_pipeline(spark, full, base, run_id="chunk2")
+    assert rep1.rows_in + rep2.rows_in == 4_000
+
+    from commerce_logs_pipeline_spark.operators.router import read_routed
+
+    both = read_routed(spark, base, incremental=True)
+    assert both.count() == 4_000
+    assert both.select("conv_id", "turn_idx").distinct().count() == 4_000
+
+
 def test_completion_events_shape(spark, parsed_10k):
     ev = completion_events(with_partition_cols(parsed_10k), "runX")
     rows = ev.collect()

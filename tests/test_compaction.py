@@ -1,0 +1,93 @@
+"""Snapshot maintenance: consolidate chunk-run snapshots / rewrite small
+files + superseded-file vacuum (Iceberg rewrite_data_files /
+remove_orphan_files analogs on the snapshot-dir protocol)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.operators.router import (
+    compact_routed,
+    read_routed,
+    vacuum_superseded,
+)
+from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
+from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+KEY_COLS = ["conv_id", "turn_idx", "category", "role", "day", "bucket"]
+
+
+def _routed_files(base: str) -> int:
+    return len(list(Path(base, "sinks", "routed").glob("runid=*/**/*.parquet")))
+
+
+def test_compact_and_vacuum_roundtrip(spark, tmp_path):
+    """Three chunked commits fragment every (day,bucket) into three run
+    dirs; compaction must consolidate each closed partition to one file
+    per dir, preserve rows exactly, and make batch == incremental reads."""
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 4_000, partitions=4)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 3), base,
+                 run_id="chunk2", close_partitions=False)
+    run_pipeline(spark, full, base, run_id="chunk3")  # closes the latch
+
+    # materialize driver-side: the lazy plan would re-read chunk files the
+    # vacuum below deletes
+    before_rows = sorted(
+        map(tuple, read_routed(spark, base, incremental=True)
+            .select(KEY_COLS).collect())
+    )
+    n_before = len(before_rows)
+    assert n_before == 4_000
+    files_before = _routed_files(base)
+
+    rep = compact_routed(spark, base, run_id="compactA")
+    assert rep["partitions"] > 0
+    assert rep["files_after"] < rep["files_before"]
+    # exactly one file per compacted partition dir
+    assert rep["files_after"] == sum(
+        1 for _ in Path(base, "sinks", "routed").glob(
+            "runid=compactA/category=*/day=*/bucket=*"
+        )
+    )
+
+    # BATCH read now resolves chunk-committed partitions correctly (the
+    # compacted run is a complete snapshot) and matches pre-compaction rows
+    batch_rows = sorted(
+        map(tuple, read_routed(spark, base).select(KEY_COLS).collect())
+    )
+    assert batch_rows == before_rows
+
+    # superseded chunk subtrees reclaimed; both read modes identical
+    removed = vacuum_superseded(spark, base, "compactA")
+    assert removed, "chunk-run dirs should be reclaimed"
+    assert _routed_files(base) < files_before
+    inc_rows = sorted(
+        map(tuple, read_routed(spark, base, incremental=True)
+            .select(KEY_COLS).collect())
+    )
+    assert inc_rows == before_rows
+
+    # idempotence: a second pass finds nothing fragmented
+    rep2 = compact_routed(spark, base)
+    assert rep2["partitions"] == 0
+
+
+def test_compact_skips_open_partitions(spark, tmp_path):
+    base = str(tmp_path / "out")
+    df = generate_transcripts(spark, 2_000, partitions=4)
+    run_pipeline(spark, df.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, df.filter(F.col("turn_idx") <= 3), base,
+                 run_id="chunk2", close_partitions=False)
+    rep = compact_routed(spark, base)
+    assert rep["partitions"] == 0  # open tails are never rewritten
+    # vacuum scoped to a compaction run id touches nothing here
+    assert vacuum_superseded(spark, base, "nonexistent") == []
+    # both chunk dirs still fully readable incrementally
+    n = df.filter(F.col("turn_idx") <= 3).count()
+    assert read_routed(spark, base, incremental=True).count() == n
