@@ -1599,6 +1599,86 @@ FROM f
 """
 
 
+def q_media_audio_features(spark, sf):
+    """Audio branch of the multimodal plumbing (same Arrow mapInPandas
+    path as images): content id, size, byterate vs declared duration,
+    byte-amplitude stats — every value re-derived by the oracle from the
+    synthetic byte construction."""
+    from commerce_logs_pipeline_spark.sources.multimodal import (
+        extract_audio_features,
+        synth_media,
+    )
+
+    return extract_audio_features(synth_media(spark, 96))
+
+
+def _sql_media_audio() -> str:
+    # synth_media: audio rows at i%3=1; content = md5('media-{i}').digest
+    # repeated (i%7+1) times; duration_ms = 3000 + 17*i. Byte mean/std are
+    # invariant under block repetition -> derive from the 16 digest bytes.
+    return """
+WITH g AS (
+    SELECT i, i % 7 + 1 AS k, CAST(3000 + 17 * i AS BIGINT) AS dur,
+           md5('media-' || i::VARCHAR) AS hx
+    FROM generate_series(0, 95) AS s(i) WHERE i % 3 = 1
+), f AS (
+    SELECT 'm-' || lpad(i::VARCHAR, 4, '0') AS media_id,
+           sha256(lower(hex(repeat(unhex(hx), k)))) AS content_sha,
+           CAST(16 * k AS BIGINT) AS n_bytes,
+           dur AS duration_ms,
+           list_transform(generate_series(1, 16), j ->
+               CAST(('0x' || substring(hx, 2 * j - 1, 2)) AS INT)::DOUBLE)
+               AS l
+    FROM g
+)
+SELECT media_id, content_sha, n_bytes, duration_ms,
+       (n_bytes * 1000.0) / duration_ms AS bytes_per_sec,
+       list_avg(l) AS amp_mean,
+       sqrt(list_avg(list_transform(l,
+            x -> (x - list_avg(l)) * (x - list_avg(l))))) AS amp_std
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 partition-stats listing (explore_raw_logs.py:210-260 analog): per
+# (day, bucket) rows / distinct streams / payload bytes / first / last.
+# Bucket uses the portable md5 hash so DuckDB reproduces the partitioning.
+# ---------------------------------------------------------------------------
+def q_partition_stats(spark, sf):
+    from commerce_logs_pipeline_spark.plans.aggregate import partition_stats
+
+    e = _t(spark, sf, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pb:"), F.col("user_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 16
+    ).cast("int")
+    df = e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).withColumn(
+        "bucket", bucket
+    )
+    return partition_stats(
+        df, payload_col="props", ts_col="ts", stream_col="user_id"
+    )
+
+
+SQL_PARTITION_STATS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(CAST(('0x' || substring(md5('pb:' || user_id::VARCHAR), 1, 15))
+                 AS BIGINT) % 16 AS INT) AS bucket,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_streams,
+       CAST(sum(octet_length(encode(props))) AS BIGINT) AS payload_bytes,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1646,7 +1726,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "selector_classified_counts": (q_selector_classify, _sql_selector_classify()),
     "blob_event_key_counts": (q_blob_event_keys, _sql_blob_event_keys()),
     "manifest_fold_state": (q_manifest_fold, _sql_manifest_fold()),
+    "partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "media_image_features": (q_media_image_features, _sql_media_features()),
+    "media_audio_features": (q_media_audio_features, _sql_media_audio()),
 }
 
 

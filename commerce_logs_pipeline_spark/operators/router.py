@@ -411,3 +411,26 @@ def write_sinks(
         )
         paths[name] = path
     return paths
+
+
+def partition_file_stats(spark, pipeline_base: str) -> DataFrame:
+    """Physical A8 stats for the routed layout: per (day, bucket) row,
+    FILE, and BYTE counts straight from the parquet scan's ``_metadata``
+    hidden column (file_path/file_size) — no driver-side filesystem
+    listing, fully distributed, and partition-pruned like any other read.
+    The per-file grouping happens first so file sizes are counted once,
+    not once per row."""
+    df = spark.read.parquet(f"{pipeline_base}/sinks/routed").select(
+        "day",
+        "bucket",
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.file_size").alias("_fs"),
+    )
+    per_file = df.groupBy("day", "bucket", "_fp", "_fs").agg(
+        F.count("*").alias("_rows")
+    )
+    return per_file.groupBy("day", "bucket").agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count("*").alias("n_files"),
+        F.sum("_fs").alias("total_bytes"),
+    )

@@ -148,3 +148,28 @@ def observe_metrics(parsed: DataFrame, name: str = "pipeline_metrics") -> DataFr
             "skipped"
         ),
     )
+
+
+def partition_stats(
+    df: DataFrame,
+    part_cols: tuple[str, ...] = ("day", "bucket"),
+    payload_col: str = "text",
+    ts_col: str = "ts",
+    stream_col: str = "conv_id",
+) -> DataFrame:
+    """A8 per-partition listing stats (explore_raw_logs.py:210-260 analog:
+    the reference's per-partition message/byte counts view): rows, distinct
+    streams, payload bytes, first/last timestamps per partition key.
+
+    One hash aggregate over the partition key — map-side partials make the
+    shuffle carry only one row per (partition, task). payload bytes are
+    logical (octet_length of the payload column), matching the reference's
+    line-byte accounting; for PHYSICAL file-level stats of the routed
+    layout see operators.router.partition_file_stats."""
+    return df.groupBy(*[F.col(c) for c in part_cols]).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(stream_col).alias("n_streams"),
+        F.sum(F.octet_length(payload_col)).alias("payload_bytes"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )

@@ -2,11 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition-preserving
-transforms) is real and tested; the actual media decode is STUBBED because
-image/audio libraries are not available in this container — see
-``decode_image_batch``: it raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives features from the
-byte content deterministically (so tests exercise the full plumbing).
+transforms) is real and tested. Decode is an OPTIONAL-DEPENDENCY path:
+``extract_image_features(deterministic_fake=False)`` decodes for real via
+PIL when importable (lazily, on the executor) and raises a clear
+ImportError otherwise; the default ``deterministic_fake=True`` derives
+features from the byte content deterministically — the oracle-checkable
+path, exercised everywhere (imaging libs are absent in this container, so
+the PIL path is unit-tested under ``pytest.importorskip``).
 
 Scale notes: media bytes never leave the executor; mapInPandas streams
 Arrow record batches, so a 100 TB media corpus processes with bounded
@@ -59,6 +61,29 @@ def _fake_decode(content: bytes) -> tuple[float, float]:
     return float(arr.mean()), float(arr.std())
 
 
+def _pil_decode(content: bytes, target: tuple[int, int]) -> tuple[float, float]:
+    """Real decode path: PIL open -> resize -> grayscale pixel mean/std.
+    Import happens per-call inside the executor (optional dependency);
+    callers gate on availability via ``pil_available``."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        arr = np.asarray(im.convert("L").resize(target), dtype=np.float64)
+    return float(arr.mean()), float(arr.std())
+
+
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def extract_image_features(
     media: DataFrame,
     target: tuple[int, int] = (224, 224),
@@ -66,17 +91,21 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode -> feature-extract -> resize metadata, via mapInPandas.
 
-    With real imaging libs this is where PIL/cv2 decode happens per Arrow
-    batch; here the decode is a clearly-marked stub.
+    deterministic_fake=True (default): features derive from the raw bytes
+    deterministically — the oracle-checkable path, and the only one on
+    clusters without imaging libs. deterministic_fake=False: REAL decode
+    via PIL (optional dependency, imported lazily on the executor); raises
+    ImportError with a clear message where PIL is absent. The Spark-side
+    plumbing (Arrow batches, schema, partitioning) is identical either way.
     """
+    if not deterministic_fake and not pil_available():
+        raise ImportError(
+            "real image decode requires pillow (PIL) on the executors; "
+            "install it or run with deterministic_fake=True"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/cv2 (unavailable in this "
-                    "container); run with deterministic_fake=True"
-                )
             out = pd.DataFrame()
             out["media_id"] = pdf["media_id"]
             # content id = sha256 of the LOWERCASE-HEX encoding of the
@@ -87,7 +116,12 @@ def extract_image_features(
                 lambda b: hashlib.sha256((b or b"").hex().encode()).hexdigest()
             )
             out["n_bytes"] = pdf["content"].map(lambda b: len(b or b"")).astype("int64")
-            stats = pdf["content"].map(lambda b: _fake_decode(b or b""))
+            if deterministic_fake:
+                stats = pdf["content"].map(lambda b: _fake_decode(b or b""))
+            else:
+                stats = pdf["content"].map(
+                    lambda b: _pil_decode(b, target) if b else (0.0, 0.0)
+                )
             out["feat_mean"] = stats.map(lambda t: t[0])
             out["feat_std"] = stats.map(lambda t: t[1])
             out["resized_w"] = target[0]
@@ -96,6 +130,53 @@ def extract_image_features(
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("bytes_per_sec", T.DoubleType(), True),
+        T.StructField("amp_mean", T.DoubleType(), True),
+        T.StructField("amp_std", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio byte-feature extraction via the same Arrow mapInPandas path:
+    content id, size, effective byterate against the declared duration, and
+    byte-level amplitude statistics (deterministic — a codec decode would
+    slot in exactly here; none is shipped, same optional-dependency stance
+    as the image path)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            out["content_sha"] = pdf["content"].map(
+                lambda b: hashlib.sha256((b or b"").hex().encode()).hexdigest()
+            )
+            out["n_bytes"] = pdf["content"].map(lambda b: len(b or b"")).astype(
+                "int64"
+            )
+            out["duration_ms"] = pdf["duration_ms"].astype("Int64")
+            # exact IEEE division, no rounding: the same (n*1000.0)/d on
+            # any engine yields the identical double
+            out["bytes_per_sec"] = [
+                (n * 1000.0) / d if d and d > 0 else None
+                for n, d in zip(out["n_bytes"], out["duration_ms"])
+            ]
+            stats = pdf["content"].map(lambda b: _fake_decode(b or b""))
+            out["amp_mean"] = stats.map(lambda t: t[0])
+            out["amp_std"] = stats.map(lambda t: t[1])
+            yield out
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
     )
 
 

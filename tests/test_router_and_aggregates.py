@@ -159,3 +159,28 @@ def test_partition_cols(transcripts_10k):
     df = with_partition_cols(transcripts_10k)
     assert df.filter((F.col("bucket") < 0) | (F.col("bucket") >= 16)).count() == 0
     assert df.filter(~F.col("day").rlike(r"^\d{4}-\d{2}-\d{2}$")).count() == 0
+
+
+def test_partition_file_stats_physical(spark, tmp_path):
+    """A8 physical variant: per-(day,bucket) row/file/byte counts from the
+    parquet _metadata column must reconcile with logical group counts."""
+    from commerce_logs_pipeline_spark.operators.router import (
+        partition_file_stats,
+        read_routed,
+    )
+    from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
+    from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+    base = str(tmp_path / "out")
+    run_pipeline(spark, generate_transcripts(spark, 2_000, partitions=4), base)
+    stats = partition_file_stats(spark, base)
+    rows = stats.collect()
+    assert sum(r.n_rows for r in rows) == 2_000
+    assert all(r.n_files >= 1 and r.total_bytes > 0 for r in rows)
+    logical = {
+        (r.day, r.bucket): r.n
+        for r in read_routed(spark, base)
+        .groupBy("day", "bucket").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {(r.day, r.bucket): r.n_rows for r in rows} == logical
