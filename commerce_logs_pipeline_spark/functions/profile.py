@@ -20,12 +20,19 @@ def profile_json_fields(
     min_presence: float = 0.0,
 ) -> DataFrame:
     """(path, n_present, presence) for top-level and second-level JSON keys
-    over the first ``sample_rows`` parseable rows."""
-    sample = df.select(text_col).limit(sample_rows)
+    over the first ``sample_rows`` PARSEABLE rows — the parse filter runs
+    before the limit, so a table whose leading rows are non-JSON (nulls,
+    tool calls, chat) still yields a full-size sample, exactly like the
+    reference's "keep reading until N messages profiled" loop."""
     # parse each line as map<string, raw-json-string>: keys are the
     # top-level fields, values keep nested JSON text for level-2 keys
     as_map = F.from_json(F.col(text_col), "map<string,string>")
-    sample = sample.withColumn("_m", as_map).filter(F.col("_m").isNotNull())
+    sample = (
+        df.select(text_col)
+        .withColumn("_m", as_map)
+        .filter(F.col("_m").isNotNull())
+        .limit(sample_rows)
+    )
     # LIMIT without ORDER BY is not stable across jobs; freeze the sampled
     # row set once so the denominator and the per-path counts are computed
     # over the SAME rows (presence <= 1 guaranteed)
