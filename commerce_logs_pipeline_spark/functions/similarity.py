@@ -97,10 +97,29 @@ def minhash_signature(
         base = lambda t: portable_hash64(t, 0) % UH_P1  # noqa: E731
     else:
         base = lambda t: F.pmod(F.xxhash64(t), F.lit(UH_P1))  # noqa: E731
-    hashed = F.transform(shingle_arr, base)
+    return _minwise_fold(F.transform(shingle_arr, base), ab, n_hashes)
+
+
+def minhash_signature_from_hashes(hash_arr: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature over PRE-HASHED 64-bit shingle keys (the
+    text.hashed_shingles_from_hashed_tokens production path): fold the
+    key array directly, reducing each key into [0, 2^31) with pmod —
+    zero additional hashing."""
+    consts = minhash_consts(n_hashes)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in consts
+        ]
+    )
+    xs = F.transform(hash_arr, lambda h: F.pmod(h, F.lit(UH_P1)))
+    return _minwise_fold(xs, ab, n_hashes)
+
+
+def _minwise_fold(xs: Column, ab: Column, n_hashes: int) -> Column:
     init = F.array_repeat(F.lit(UH_P2).cast("long"), n_hashes)
     return F.aggregate(
-        hashed,
+        xs,
         init,
         lambda acc, x: F.zip_with(
             acc, ab, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % UH_P2)

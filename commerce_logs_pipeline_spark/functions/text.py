@@ -120,22 +120,58 @@ def content_md5(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def _shifted_zip(arr: Column, k: int) -> Column:
+    """arrays_zip of k shifted slices: element i holds (arr[i..i+k-1]) as a
+    struct with fields "0".."k-1". The sliding-window backbone for both
+    shingle builders. Collapse-safe BY CONSTRUCTION: the downstream
+    transform's lambda touches only its own struct element, never the
+    source array — so even when Catalyst inlines this expression into a
+    consumer (a Generate input, a pushed-down filter), no per-element
+    re-evaluation of the source subtree can occur. The earlier index-based
+    formulation (transform over a position sequence with element_at/slice
+    reads of the token array inside the lambda) went O(n^2) whenever the
+    array ref was inlined — measured 3-6x the whole operator."""
+    m = F.greatest(F.size(arr) - (k - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(arr, j + 1, m) for j in range(k)])
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """k-token shingles (n-grams joined by single space), distinct, from a
-    PRE-MATERIALIZED token array column.
-
-    Pass a real column reference, not an inline ``tokens(...)`` expression:
-    a lambda body inlines its argument subtree and re-evaluates it per
-    element — an inline tokenizer would re-run the regex split once per
-    shingle (measured 8x slower over a 5k-doc corpus).
-    """
+    PRE-MATERIALIZED token array column (pass a column ref, not an inline
+    tokens(...) expression — see _shifted_zip on inlining)."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    z = _shifted_zip(toks, k)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+                z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
             )
+        )
+    )
+
+
+def hashed_tokens(toks: Column) -> Column:
+    """One xxhash64 per token. Materialize the result as its OWN column
+    before shingling (same discipline as the token array itself — a lambda
+    body inlines its argument subtree, so an inline hash pass would re-run
+    over the whole array per element)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def hashed_shingles_from_hashed_tokens(th: Column, k: int = 3) -> Column:
+    """64-bit shingle KEYS without ever materializing shingle strings:
+    combine each window of k token hashes (from a PRE-MATERIALIZED
+    ``hashed_tokens`` column) with one native xxhash64(long, ..., long)
+    call over a shifted-slice zip — no per-shingle string allocation, and
+    the downstream explode/join/shuffle carries 8-byte keys instead of
+    k-word strings. Native hash composition also sidesteps ANSI overflow
+    (no arithmetic mixing). Distinct, like the string form. Production
+    twin of ``shingles_from_tokens`` (the portable/oracle path)."""
+    n = F.size(th)
+    z = _shifted_zip(th, k)
+    return F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(
+            F.transform(z, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
         )
     )
 

@@ -59,20 +59,41 @@ def _spread(df: DataFrame) -> DataFrame:
     )
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, sh) with the tokenizer materialized as its own column so the
-    shingle lambda reads an attribute instead of re-running the regex split
-    per element (see text.shingles_from_tokens)."""
-    return (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            tokens(F.lower(F.col(text_col))).alias("_toks"),
-        )
-        .withColumn("sh", shingles_from_tokens(F.col("_toks"), k))
-        .select("id", "sh")
-        .filter(F.size("sh") > 0)
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int, hashed: bool = False
+) -> DataFrame:
+    """(id, sh) with every expensive array materialized as its OWN column
+    so each downstream lambda reads an attribute instead of re-running its
+    producer per element (see text.shingles_from_tokens).
+
+    hashed=True (production): sh is array<long> of 64-bit shingle keys —
+    built with native hash composition, no shingle strings ever exist, and
+    every downstream explode/join/shuffle carries 8-byte keys.
+    hashed=False: exact shingle strings (the portable/oracle path)."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
+    # Empty-shingle filter expressed on the TOKEN count, placed BEFORE the
+    # shingle projection: sh is empty iff size(toks) < k, and a trailing
+    # filter(size(sh) > 0) gets predicate-pushed through the projections
+    # with the whole shingle expression INLINED into the predicate — where
+    # the token array is no longer an attribute, so each per-element
+    # element_at/slice re-evaluates the tokenizer subtree: an O(n^2)
+    # filter evaluated on every row (measured 2.6x the whole operator).
+    base = base.filter(F.size("_toks") >= k)
+    if hashed:
+        from ..functions.text import (
+            hashed_shingles_from_hashed_tokens,
+            hashed_tokens,
+        )
+
+        base = base.withColumn("_th", hashed_tokens(F.col("_toks"))).withColumn(
+            "sh", hashed_shingles_from_hashed_tokens(F.col("_th"), k)
+        )
+    else:
+        base = base.withColumn("sh", shingles_from_tokens(F.col("_toks"), k))
+    return base.select("id", "sh")
 
 
 def exact_dedup(
@@ -126,12 +147,13 @@ def ngram_jaccard_pairs(
     Only pairs sharing >=1 shingle are materialized. ``max_bucket`` drops
     degenerate ubiquitous shingles (stopword-like), the skew guard.
 
-    hash_shingles=True (production): the inverted index keys on
-    xxhash64(shingle) — an 8-byte join key instead of a k-word string,
-    cutting exchange volume several-fold. Collisions conflate two shingles
-    with probability ~n_distinct^2/2^64 (vanishing; and an ε overcount in
-    ``common``, not a crash). hash_shingles=False keeps the exact string
-    key for external-oracle parity.
+    hash_shingles=True (production): shingle strings are never built — the
+    inverted index keys on 64-bit hash-composed shingle keys (8 bytes per
+    join key instead of a k-word string), cutting both the map-side
+    construction cost and the exchange volume several-fold. Collisions
+    conflate two shingles with probability ~n_distinct^2/2^64 (vanishing;
+    and an ε overcount in ``common``, not a crash). hash_shingles=False
+    keeps the exact string keys for external-oracle parity.
 
     The Jaccard is computed over the FILTERED shingle universe: per-doc
     sizes are re-counted after the hot-shingle drop so numerator and
@@ -139,21 +161,22 @@ def ngram_jaccard_pairs(
     count would systematically underestimate similarity for docs that
     contain hot shingles).
     """
-    sh = _shingled(df, text_col, id_col, k)
-    shingle_key = (
-        F.xxhash64(F.col("_s")) if hash_shingles else F.col("_s")
-    )
-    exploded = sh.select("id", F.explode("sh").alias("_s")).select(
-        "id", shingle_key.alias("shingle")
-    )
+    sh = _shingled(df, text_col, id_col, k, hashed=hash_shingles)
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # skew guard: drop shingles present in too many docs (stopword-like
     # shingles make the self-join quadratic — a hot shingle in f docs
-    # yields f^2 candidate rows)
-    bucket_sizes = exploded.groupBy("shingle").agg(F.count("*").alias("bn"))
-    surv = exploded.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("shingle"),
-        on="shingle",
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both join sides
+    # yields f^2 candidate rows). A window count over the shingle key does
+    # it in the SAME shuffle the self-join needs anyway (vs. the
+    # aggregate+join formulation: one extra shuffle + one extra join), and
+    # the persisted post-window partitioning is reused by both join sides.
+    surv = (
+        exploded.withColumn(
+            "bn", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both sides
+    )
     # per-doc sizes over the surviving universe (tiny frame: one row/doc)
     n_filtered = surv.groupBy("id").agg(F.count("*").alias("n"))
     a = surv.select("shingle", F.col("id").alias("id_a"))
@@ -214,12 +237,16 @@ def minhash_lsh_pairs(
     # base feeds the signature AND both verify re-attach joins; banded
     # self-joins against itself — persist both so the tokenize/shingle/hash
     # work is paid once (plan-tree references re-execute, they don't share)
-    base = _shingled(df, text_col, id_col, k).persist(
+    base = _shingled(df, text_col, id_col, k, hashed=not portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = base.withColumn(
-        "sig", minhash_signature(F.col("sh"), n_hashes, portable=portable)
-    )
+    if portable:
+        sig_col = minhash_signature(F.col("sh"), n_hashes, portable=True)
+    else:
+        from ..functions.similarity import minhash_signature_from_hashes
+
+        sig_col = minhash_signature_from_hashes(F.col("sh"), n_hashes)
+    sig = base.withColumn("sig", sig_col)
 
     # band key over the signature slice: md5 of the comma-joined values in
     # portable mode (DuckDB-reproducible); xxhash64 over the slice itself
@@ -236,17 +263,19 @@ def minhash_lsh_pairs(
         F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bucket"))
         for bi in range(bands)
     ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
-    banded = banded.join(
-        sizes.filter(F.col("bn") <= max_bucket).select("band", "bucket"),
-        on=["band", "bucket"],
+    # hot-bucket guard as a window count: one shuffle on (band, bucket) —
+    # the same partitioning the self-join consumes from the persisted
+    # frame — instead of a separate aggregate + join-back
+    banded = (
+        sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+        .withColumn(
+            "bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
