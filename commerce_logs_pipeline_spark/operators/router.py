@@ -136,6 +136,16 @@ def write_sinks_single_pass(
     written output without re-parsing or caching the wide frame.
     """
     sinks = sinks or DEFAULT_SINKS
+    if not (run_id and run_id[0].isalpha()):
+        # runid is a partition directory value; a number-like id trips
+        # Spark partition-value type inference (all-digits -> LONG column
+        # that breaks string matching; <digits>e<digits> -> scientific
+        # notation whose Decimal expansion livelocks the driver). See
+        # checkpoint.new_run_id.
+        raise ValueError(
+            f"run_id must start with a letter (got {run_id!r}): number-like "
+            "partition values break Spark's partition type inference"
+        )
     run_path = f"{base_path}/routed/runid={run_id}"
     spark = parsed.sparkSession
     # Write-task count sized by shuffle partitioning, floored at the core

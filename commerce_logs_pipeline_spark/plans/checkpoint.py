@@ -37,7 +37,16 @@ KEY = ["day", "bucket"]
 
 
 def new_run_id() -> str:
-    return uuid.uuid4().hex[:12]
+    """Letter-prefixed so the id can NEVER be number-like. run_id is a
+    partition directory value (``runid=<id>``), and Spark's partition-value
+    type inference parses bare values: an all-digit hex id silently infers
+    as LONG (string comparisons in read_routed then match nothing), and a
+    ``<digits>e<digits>`` id parses as scientific notation whose
+    Decimal(10^huge) materialization livelocks the driver for hours
+    (observed: runid with exponent 8e8 pinned a driver core >45 min in
+    BigInteger.pow). ~1 in 130 uuid-hex 12-char prefixes hits one of the
+    two. The leading letter forces string inference."""
+    return "r" + uuid.uuid4().hex[:11]
 
 
 class ManifestStore:

@@ -52,6 +52,67 @@ def stream_transcripts(
     )
 
 
+def kafka_connector_available() -> bool:
+    """True if the spark-sql-kafka connector jar is on the classpath (not
+    shipped with pip pyspark; a real cluster vendors it)."""
+    import os
+
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any("spark-sql-kafka" in j for j in os.listdir(jars))
+    except OSError:
+        return False
+
+
+def decode_kafka_transcripts(raw: DataFrame) -> DataFrame:
+    """Kafka wire -> transcript frame: each record's value is one JSON
+    transcript turn (the reference's ``Ingestion.Blobs`` message analog,
+    events/blob.go:46-54), keyed by conv_id for partition ordering. Pure
+    Column decode — unit-testable on a batch frame with the Kafka wire
+    columns, no broker needed."""
+    t = F.from_json(F.col("value").cast("string"), TRANSCRIPT_SCHEMA)
+    return raw.select(t.alias("t")).select("t.*")
+
+
+def build_stream_source(
+    spark: SparkSession,
+    source: str = "files",
+    input_path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topic: str | None = None,
+    max_files_per_trigger: int = 4,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Config-switched S3 source seam. The reference consumes Kafka
+    (configs/kafka_topics.yaml); this sandbox has no broker, so the
+    default is the file source (identical downstream plan). source="kafka"
+    builds ``readStream.format("kafka")`` + the wire decode — it requires
+    the spark-sql-kafka connector jar (absent from pip pyspark; checked
+    with a clear error so cluster deployments just work)."""
+    if source == "files":
+        if input_path is None:
+            raise ValueError("input_path required for the file source")
+        return stream_transcripts(spark, input_path, max_files_per_trigger)
+    if source == "kafka":
+        if not kafka_connector_available():
+            raise ImportError(
+                "source='kafka' needs the spark-sql-kafka connector jar on "
+                "the classpath (vendor it via --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13)"
+            )
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+        return decode_kafka_transcripts(raw)
+    raise ValueError(f"unknown stream source: {source!r}")
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     input_path: str,

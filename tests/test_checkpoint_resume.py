@@ -220,3 +220,25 @@ def test_completion_events_shape(spark, parsed_10k):
     assert sum(r.rows_processed for r in rows) == 10_000
     for r in rows:
         assert r.rows_processed == r.rows_routed + r.rows_skipped
+
+
+def test_run_ids_never_number_like(spark, parsed_10k):
+    """runid is a partition-dir value; Spark's partition type inference
+    turns all-digit ids into LONG columns (string matches then fail) and
+    <digits>e<digits> ids into scientific-notation decimals whose
+    expansion livelocks the driver. Generated ids must always start with
+    a letter, and the writer must reject number-like ids outright."""
+    import pytest
+
+    from commerce_logs_pipeline_spark.plans.checkpoint import new_run_id
+    from commerce_logs_pipeline_spark.operators.router import (
+        write_sinks_single_pass,
+    )
+
+    for _ in range(64):
+        assert new_run_id()[0].isalpha()
+
+    frame = with_partition_cols(parsed_10k)
+    for bad in ("123456789012", "469e826447734", "7", ""):
+        with pytest.raises(ValueError, match="start with a letter"):
+            write_sinks_single_pass(frame, "/tmp/never-written", run_id=bad)

@@ -161,3 +161,40 @@ def test_conversation_state_stream(spark, input_dir, tmp_path):
         out.join(src, "conv_id").filter(F.col("total") != F.col("n")).count()
     )
     assert mism == 0
+
+
+def test_kafka_wire_decode_and_source_seam(spark):
+    """The Kafka path's wire decode is a pure Column transform, tested on a
+    batch frame with the Kafka wire columns (no broker). The source seam
+    errors clearly when the connector jar is absent."""
+    import datetime as dt
+    import json
+
+    import pytest
+
+    from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+        build_stream_source,
+        decode_kafka_transcripts,
+        kafka_connector_available,
+    )
+
+    msg = {
+        "conv_id": "c-1", "turn_idx": 3, "role": "assistant",
+        "text": "hello", "tool": None, "ts": "2024-01-01T00:00:05.000Z",
+    }
+    wire = spark.createDataFrame(
+        [("c-1".encode(), json.dumps(msg).encode(), "turns", 0, 42,
+          dt.datetime(2024, 1, 1))],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    row = decode_kafka_transcripts(wire).collect()[0]
+    assert row.conv_id == "c-1" and row.turn_idx == 3
+    assert row.role == "assistant" and row.text == "hello"
+
+    if not kafka_connector_available():
+        with pytest.raises(ImportError, match="spark-sql-kafka"):
+            build_stream_source(spark, "kafka", kafka_bootstrap="b:9092",
+                                topic="turns")
+    with pytest.raises(ValueError, match="unknown stream source"):
+        build_stream_source(spark, "pulsar")
