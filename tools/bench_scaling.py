@@ -135,6 +135,15 @@ def run_level(mode: str, level: int, turns: int, runs: int,
 
 
 def main() -> int:
+    if "--render-only" in sys.argv:
+        # lossless re-render from the persisted sidecars (e.g. after a
+        # fresh gang.json lands)
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            summary = json.load(f)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(render_markdown(summary, load_gang()))
+        print("rendered BENCH/BASELINE.md from sidecars")
+        return 0
     mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "standalone")
     turns = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "8000000"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
@@ -174,65 +183,136 @@ def main() -> int:
         "unit": unit,
         "levels": {
             str(c): {"sec": results[c]["sec"],
-                     "turns_per_sec": results[c]["turns_per_sec"]}
+                     "turns_per_sec": results[c]["turns_per_sec"],
+                     "phases": results[c].get("phases", {})}
             for c in levels
         },
         "efficiency": {f"{n}->{m}": eff(n, m) for n, m in pairs},
         "timestamp": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(render_markdown(summary, load_gang()))
+    return 0
 
+
+def load_gang() -> dict | None:
+    """The hardware-ceiling control persisted by tools/bench_gang.py.
+    Rendering it from the sidecar (not inline measurement) is what makes
+    BENCH/BASELINE.md regeneration LOSSLESS: a re-run of this script can
+    never silently drop the control evidence again."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "gang.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def render_markdown(summary: dict, gang: dict | None) -> str:
+    unit = summary["unit"]
+    levels = list(summary["levels"])
     rows = "\n".join(
-        f"| {c} | {results[c]['sec']} | {results[c]['turns_per_sec']:,} |"
+        f"| {c} | {summary['levels'][c]['sec']} "
+        f"| {summary['levels'][c]['turns_per_sec']:,} |"
         for c in levels
     )
-    effrows = "\n".join(f"| {n} -> {m} | {eff(n, m)} |" for n, m in pairs)
-    md = f"""# BENCH baseline — N vs 4N scaling evidence
+    effrows = "\n".join(
+        f"| {pair.replace('->', ' -> ')} | {e} |"
+        for pair, e in summary["efficiency"].items()
+    )
+    raw_eff = next(iter(summary["efficiency"].values()), None)
+
+    if gang is not None:
+        ceiling = gang["host_4x_ceiling_efficiency"]
+        cpu = gang.get("pure_cpu_control", {})
+        engine_attr = (
+            round(raw_eff / ceiling, 3)
+            if raw_eff is not None and ceiling
+            else None
+        )
+        gang_section = f"""## Hardware-ceiling control (tools/bench_gang.py)
+
+Is the shortfall the ENGINE or the BOX? Control: the identical pipeline as
+FOUR INDEPENDENT single-driver processes (local[8] each) over four
+disjoint quarters of the same input, simultaneously — zero shared
+shuffles, zero coordination. No distributed engine can beat
+embarrassingly-parallel processes on one box, so the gang's efficiency is
+the host's own ceiling for this workload at 8 -> 32 busy cores (DRAM
+bandwidth + all-core clocks).
+
+| control | value |
+|---|---|
+| single local[8] over one quarter | {gang["single_local8_sec"]} s |
+| gang of 4 x local[8], max member | {gang["gang_of_4_max_sec"]} s |
+| host 4x ceiling for THIS workload | **{ceiling}** |
+| pure-CPU 8->32-proc ceiling (hash loop) | {cpu.get("pure_cpu_8to32_efficiency", "n/a")} |
+
+Engine-attributable efficiency = measured / ceiling =
+{raw_eff} / {ceiling} = **{engine_attr}** — the fraction of the
+hardware's own achievable scaling that the engine delivers. The pure-CPU
+control shows even coordination-free compute does not scale 4x on this
+box; this DRAM-bound string/JSON workload has a lower ceiling still.
+"""
+    else:
+        gang_section = (
+            "## Hardware-ceiling control\n\n(not yet measured — run "
+            "tools/bench_gang.py to populate BENCH/gang.json)\n"
+        )
+
+    phases = {
+        c: summary["levels"][c].get("phases", {}) for c in levels
+    }
+    note = summary.get("variance_note")
+    variance_section = f"\nMeasurement-variance note: {note}\n" if note else ""
+    return f"""# BENCH baseline — N vs 4N scaling evidence
 
 Protocol (BASELINE.md + north rule): the identical spark-submit pipeline
-job on identical pre-materialized input ({turns:,} deterministic
-Zipf-skewed transcript turns) at two cluster sizes — **{unit}** on a local
-standalone Spark cluster (one 32-core worker on this host; a real
-multi-node cluster is unavailable in this sandbox). Each executor is its
-own JVM, so N vs 4N compares executor counts exactly as the north rule
-states. Best of {runs} runs per level; fresh driver per level;
-shuffle/scratch on tmpfs (this sandbox's /tmp is a burst-credit cloud disk
-with several-fold run-to-run throughput variance — tmpfs stands in for a
-cluster node's local NVMe).
+job on identical pre-materialized input ({summary["input_turns"]:,}
+deterministic Zipf-skewed transcript turns) at two cluster sizes —
+**{unit}** on a local standalone Spark cluster (one 32-core worker on this
+host; a real multi-node cluster is unavailable in this sandbox). Each
+executor is its own JVM, so N vs 4N compares executor counts exactly as
+the north rule states. Best of {summary["runs_per_level"]} runs per level;
+fresh driver per level; shuffle/scratch on tmpfs (this sandbox's /tmp is a
+burst-credit cloud disk with several-fold run-to-run throughput variance —
+tmpfs stands in for a cluster node's local NVMe).
 
 Pipeline measured end-to-end (parse -> enrich -> route -> aggregate):
-read parquet -> vectorized parse (single from_json superset pass + Arrow
-pandas-UDF grok) -> broadcast enrich -> snapshot-dir partitioned sink
-write (category/day/bucket + runid snapshot commit; no serial
-dynamic-partition rename) -> routed-table read-back -> conservation counts
-+ 3 grouped aggregates -> lineage manifest append. AQE on,
-spark.sql.shuffle.partitions=32, committer v2.
+read parquet -> vectorized parse (two gated from_json passes, one per wire
+format, + Arrow pandas-UDF grok; map-only, zero shuffle) -> broadcast
+enrich -> ONE hash-distributed snapshot-dir sink write
+(category/day/bucket + runid snapshot commit; no serial dynamic-partition
+rename) -> pruned routed-table read-back -> observed-metrics conservation
+counts + 3 grouped aggregates -> lineage manifest append. AQE on, shuffle
+partitions = 4 x cores per level, committer v2.
 
 | {unit} | wall sec | turns/sec |
 |---|---|---|
 {rows}
 
-| pair (N -> 4N) | scaling efficiency = (tput_4N / tput_N) / 4 |
+| pair | scaling efficiency = (tput_4N / tput_N) / 4 |
 |---|---|
 {effrows}
 
 Target: >= 0.8 (north rule).
+{variance_section}
+{gang_section}
+## Context
 
-Context: single-JVM local[8] vs local[32] (CPU-pinned) measures ~0.55-0.78
-on this host because 32 executor threads share one heap (GC) and one
-memory bus; the multi-executor standalone numbers above are the faithful
-reading of the N-vs-4N-executor criterion. This host's own pure-CPU
-multiprocess scaling ceiling 8->32 procs is 3.4x (0.85 efficiency).
+Single-JVM local[8] vs local[32] (CPU-pinned) measures ~0.55-0.78 on this
+host because 32 executor threads share one heap (GC) and one memory bus;
+the multi-executor standalone numbers above are the faithful reading of
+the N-vs-4N-executor criterion.
 
 Phase breakdown (best runs, sec):
-{json.dumps({str(c): results[c].get("phases", {}) for c in levels}, indent=2)}
+{json.dumps(phases, indent=2)}
 
-Generated by tools/bench_scaling.py at {summary["timestamp"]}.
+Generated by tools/bench_scaling.py at {summary["timestamp"]}
+(inputs: BENCH/scaling.json + BENCH/gang.json — regeneration is lossless).
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    return 0
 
 
 if __name__ == "__main__":
