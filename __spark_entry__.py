@@ -375,6 +375,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_value_percentiles(spark, sf):
+    """A5/A6 latency-percentile reporting analog: EXACT p50/p95/p99 per
+    event type (Spark ``percentile`` — linear interpolation, the same
+    type-7 quantile DuckDB's quantile_cont computes). Exact, not
+    percentile_approx: the oracle must hash-match; at scale swap in
+    percentile_approx for one-pass sketching."""
+    e = _t(spark, sf, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), pct.alias("_p"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("_p", 1), 4).alias("p50"),
+            F.round(F.element_at("_p", 2), 4).alias("p95"),
+            F.round(F.element_at("_p", 3), 4).alias("p99"),
+        )
+    )
+
+
+SQL_VALUE_PCT = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_hourly_rollup(spark, sf):  # T-window tumbling rollup
     e = _t(spark, sf, "events")
     # sum not avg: the source values carry 2 decimals, so a 2-decimal
@@ -1699,6 +1729,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "route_event_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "error_rate_by_user": (q_error_rate_by_user, SQL_ERROR_RATE),
     "hourly_rollup": (q_hourly_rollup, SQL_HOURLY),
+    "value_percentiles_by_type": (q_value_percentiles, SQL_VALUE_PCT),
     "json_extract_props": (q_json_extract, SQL_JSON_EXTRACT),
     "windowed_rolling_avg": (q_windowed_rates, SQL_WINDOWED),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),

@@ -37,3 +37,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED (and optionally sorted) managed parquet table
+    — the co-located-join layout. Two tables bucketed the same way on the
+    join key sort-merge-join with ZERO exchanges (each bucket pair joins
+    in place), the Spark analog of the reference's FNV%12 co-partitioned
+    Kafka topics (processor.go:29-33): pay the partitioning once at write
+    time, reuse it for every subsequent join/aggregate on that key.
+    pinned by tests/test_plan_shapes.py."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").mode("overwrite").saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key: with bucketing
+    enabled (default) the planner emits an exchange-free sort-merge join."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)

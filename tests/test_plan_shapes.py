@@ -91,3 +91,42 @@ def test_selector_filter_is_sargable(spark):
     )
     assert "PushedFilters" in plan
     assert "StartsWith" in plan.split("PushedFilters")[1][:300]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed identically on the
+    join key must sort-merge-join with ZERO shuffle exchanges — the
+    pay-once partitioning that replaces the reference's co-partitioned
+    topics. At 100 TB this is the difference between a join that moves
+    both tables and one that moves nothing."""
+    from pyspark.sql import functions as F
+
+    from commerce_logs_pipeline_spark.sources.tables import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    # (warehouse.dir is a static conf — tables land in the session default
+    # warehouse and are dropped in the finally)
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("vb")
+    )
+    write_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick SMJ, exposing whether
+        # bucketing removed the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bk_a", "bk_b", on=["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): randomized inputs against
+reference-semantics invariants. Example counts are small because every
+example runs a Spark job; the strategies bias toward the adversarial
+region (extremes, nulls, ties, colons)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.functions import selectors as S
+from commerce_logs_pipeline_spark.operators import windows
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic CI: same examples every run
+)
+
+LONGS = st.one_of(
+    st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    st.sampled_from([0, 1, -1, 2 ** 63 - 1, -(2 ** 63)]),
+    st.none(),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), LONGS),
+        min_size=1, max_size=40,
+    ),
+    ascending=st.booleans(),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_topk_two_phase_matches_window_property(spark, rows, ascending, k):
+    """For ANY bigint data (extremes, nulls, duplicate keys) the two-phase
+    top-k must select exactly the rows the window formulation selects."""
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, id int, v long")
+    a = windows.topk_per_group(df, ["grp"], "v", k, ascending=ascending,
+                               tiebreak="id", two_phase=True)
+    b = windows.topk_per_group(df, ["grp"], "v", k, ascending=ascending,
+                               tiebreak="id", two_phase=False)
+    assert sorted((r.grp, r.id) for r in a.collect()) == sorted(
+        (r.grp, r.id) for r in b.collect()
+    )
+
+
+_IDENT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_.",
+    min_size=1, max_size=12,
+)
+_BLOB = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_.:/",
+    min_size=1, max_size=30,
+).filter(lambda s: not s.startswith("kubernetes/"))
+
+
+@given(
+    parts=st.lists(st.tuples(_IDENT, _IDENT, _IDENT, _BLOB),
+                   min_size=1, max_size=10),
+    k8s_prefix=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_blob_event_key_roundtrip_property(spark, parts, k8s_prefix):
+    """generate -> parse is the identity on (sub, env, type, blob) for any
+    colon-free components and ANY blob name (colons included; the 4-way
+    limited split absorbs them), with the kubernetes/ prefix stripped."""
+    rows = [
+        (sub, env, et, ("kubernetes/" + blob) if k8s_prefix else blob, blob)
+        for sub, env, et, blob in parts
+    ]
+    df = spark.createDataFrame(
+        rows, "sub string, env string, et string, blob string, want string"
+    )
+    out = df.select(
+        "sub", "env", "et", "want",
+        S.parse_blob_event_key(
+            S.generate_blob_event_key(
+                F.col("sub"), F.col("env"), F.col("et"), F.col("blob")
+            )
+        ).alias("p"),
+    ).collect()
+    for r in out:
+        assert r.p.valid
+        assert (r.p.subscription, r.p.environment, r.p.event_type,
+                r.p.blob_name) == (r.sub, r.env, r.et, r.want)
+        assert r.p.is_log_line == r.et.startswith("line-")
