@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "selector_classified_counts",
     "transcript_status_class",
+    "value_percentiles_by_type",
+    "partition_stats",
+    "media_audio_features",
 ]
 
 PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "4000000"))
