@@ -165,17 +165,22 @@ def ngram_jaccard_pairs(
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     # skew guard: drop shingles present in too many docs (stopword-like
     # shingles make the self-join quadratic — a hot shingle in f docs
-    # yields f^2 candidate rows). A window count over the shingle key does
-    # it in the SAME shuffle the self-join needs anyway (vs. the
-    # aggregate+join formulation: one extra shuffle + one extra join), and
-    # the persisted post-window partitioning is reused by both join sides.
-    surv = (
-        exploded.withColumn(
-            "bn", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .filter(F.col("bn") <= max_bucket)
-        .drop("bn")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both sides
+    # yields f^2 candidate rows). Shape matters at scale: the count uses
+    # groupBy (MAP-SIDE partial aggregation — the shuffle carries one row
+    # per distinct key per task, never the exploded rows), and the filter
+    # is an ANTI-join against only the OVER-limit keys — a list that is
+    # small by construction (<= rows/max_bucket, Zipf-tiny in practice) so
+    # AQE broadcasts it and no exploded row moves. A window-count guard
+    # would instead funnel every row of the hottest key through ONE
+    # unsplittable task just to count it.
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > max_bucket)
+        .select("shingle")
+    )
+    surv = exploded.join(hot, on="shingle", how="left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK  # feeds sizes + both join sides
     )
     # per-doc sizes over the surviving universe (tiny frame: one row/doc)
     n_filtered = surv.groupBy("id").agg(F.count("*").alias("n"))
@@ -263,20 +268,22 @@ def minhash_lsh_pairs(
         F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bucket"))
         for bi in range(bands)
     ]
-    # hot-bucket guard as a window count: one shuffle on (band, bucket) —
-    # the same partitioning the self-join consumes from the persisted
-    # frame — instead of a separate aggregate + join-back
-    banded = (
+    # hot-bucket guard: map-side-partial count + anti-join against the
+    # over-limit buckets only (same skew-safe shape as the ngram guard —
+    # a window count would funnel each hot bucket through one task)
+    banded_all = (
         sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
-        .withColumn(
-            "bn", F.count("*").over(Window.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("bn") <= max_bucket)
-        .drop("bn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds count + both sides
     )
+    hot = (
+        banded_all.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > max_bucket)
+        .select("band", "bucket")
+    )
+    banded = banded_all.join(hot, on=["band", "bucket"], how="left_anti")
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (

@@ -299,43 +299,71 @@ def compact_routed(
 
     from ..plans.checkpoint import ManifestStore, new_run_id
 
+    if run_id is not None and not run_id.startswith("compact"):
+        raise ValueError(
+            f"compaction run_id must carry the reserved 'compact' prefix "
+            f"(got {run_id!r}) — it marks the snapshot as self-contained "
+            "for later maintenance passes"
+        )
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     state = manifest.current_state(spark)
-    closed = [
-        (r["day"], r["bucket"])
+    closed = {
+        (r["day"], r["bucket"]): r["run_id"]
         for r in state.filter(F.col("status") == "closed").collect()
-    ]
+    }
     root = Path(pipeline_base) / "sinks" / "routed"
+    committed = {}
+    for r in manifest.committed_runs(spark).collect():
+        committed.setdefault((r["day"], r["bucket"]), set()).add(r["run_id"])
 
-    def layout(day: str, bucket) -> tuple[list[Path], set[Path], set[str]]:
-        files = list(
-            root.glob(f"runid=*/category=*/day={day}/bucket={bucket}/*.parquet")
+    def files_in(runs: set[str], day: str, bucket) -> tuple[int, int]:
+        files = [
+            p
+            for rid in runs
+            for p in root.glob(
+                f"runid={rid}/category=*/day={day}/bucket={bucket}/*.parquet"
+            )
+        ]
+        return len(files), len({p.parent for p in files})
+
+    # The COMPLETE row set of a closed partition lives in exactly one of
+    # two places: the union of its committed chunk runs, OR — once a
+    # compaction has run — the compaction snapshot alone (its reserved
+    # "compact" run-id prefix marks it as self-contained). Sourcing from
+    # both would permanently double every row on a re-compaction invoked
+    # before vacuum_superseded reclaimed the superseded chunk dirs.
+    todo: dict[tuple, set[str]] = {}
+    files_before = 0
+    for (day, bucket), auth in closed.items():
+        source_runs = (
+            {auth}
+            if auth.startswith("compact")
+            else committed.get((day, bucket), set())
         )
-        dirs = {p.parent for p in files}
-        runs = {p.parts[len(root.parts)].split("=", 1)[1] for p in files}
-        return files, dirs, runs
-
-    todo, files_before = [], 0
-    for day, bucket in closed:
-        files, dirs, runs = layout(day, bucket)
-        if len(runs) > 1 or len(files) > len(dirs):
-            todo.append((day, bucket))
-            files_before += len(files)
+        n_files, n_dirs = files_in(source_runs, day, bucket)
+        if len(source_runs) > 1 or n_files > n_dirs:
+            todo[(day, bucket)] = source_runs
+            files_before += n_files
     if not todo:
         return {"run_id": None, "partitions": 0, "files_before": 0,
                 "files_after": 0}
 
     run_id = run_id or f"compact{new_run_id()[:8]}"
-    # incremental union = every committed chunk of the partition; for a
-    # closed partition that IS its complete row set (chunks are disjoint
-    # by the per-conversation resume filter)
-    all_committed = read_routed(spark, pipeline_base, incremental=True)
-    part_key = F.concat_ws(
-        "\x1f", F.col("day"), F.col("bucket").cast("string")
+    triples = [
+        f"{rid}\x1f{d}\x1f{b}"
+        for (d, b), runs in todo.items()
+        for rid in runs
+    ]
+    routed = spark.read.parquet(f"{root}")
+    rkey = F.concat_ws(
+        "\x1f", F.col("runid"), F.col("day"), F.col("bucket").cast("string")
     )
-    keys = [f"{d}\x1f{b}" for d, b in todo]
     (
-        all_committed.filter(part_key.isin(keys))
+        routed.filter(rkey.isin(triples))
+        # runid is a PATH-derived partition column of the source read;
+        # carrying it into the new files would bake a stale data column
+        # that shadows under the new runid= dir
+        .drop("runid")
         # one task per (category, day, bucket) group -> one file per dir
         .repartition(F.col("category"), F.col("day"), F.col("bucket"))
         .write.mode("overwrite")
@@ -423,14 +451,18 @@ def write_sinks(
     return paths
 
 
-def partition_file_stats(spark, pipeline_base: str) -> DataFrame:
+def partition_file_stats(
+    spark, pipeline_base: str, incremental: bool = False
+) -> DataFrame:
     """Physical A8 stats for the routed layout: per (day, bucket) row,
     FILE, and BYTE counts straight from the parquet scan's ``_metadata``
     hidden column (file_path/file_size) — no driver-side filesystem
     listing, fully distributed, and partition-pruned like any other read.
     The per-file grouping happens first so file sizes are counted once,
-    not once per row."""
-    df = spark.read.parquet(f"{pipeline_base}/sinks/routed").select(
+    not once per row. MANIFEST-GATED exactly like ``read_routed`` (same
+    incremental switch): orphaned/uncommitted run dirs and snapshots
+    superseded by a compaction never inflate the counts."""
+    df = read_routed(spark, pipeline_base, incremental=incremental).select(
         "day",
         "bucket",
         F.col("_metadata.file_path").alias("_fp"),

@@ -52,9 +52,20 @@ def stream_transcripts(
     )
 
 
-def kafka_connector_available() -> bool:
-    """True if the spark-sql-kafka connector jar is on the classpath (not
-    shipped with pip pyspark; a real cluster vendors it)."""
+def kafka_connector_available(spark: SparkSession | None = None) -> bool:
+    """True if the spark-sql-kafka connector is loadable. With a live
+    session, ask the DRIVER JVM's classloader — the only check that sees
+    jars vendored via --packages/--jars (they live in the ivy cache /
+    spark.jars classpath, never in pip-pyspark's bundled jars dir).
+    Without a session, fall back to scanning the bundled jars dir."""
+    if spark is not None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+            return True
+        except Exception:
+            return False
     import os
 
     try:
@@ -96,7 +107,7 @@ def build_stream_source(
             raise ValueError("input_path required for the file source")
         return stream_transcripts(spark, input_path, max_files_per_trigger)
     if source == "kafka":
-        if not kafka_connector_available():
+        if not kafka_connector_available(spark):
             raise ImportError(
                 "source='kafka' needs the spark-sql-kafka connector jar on "
                 "the classpath (vendor it via --packages "

@@ -18,19 +18,25 @@ def parse_bytes(s: str) -> int:
     return int(s)
 
 
+_STAT_LIMIT = 512  # driver-side FS stats are ~ms each; sample beyond this
+
+
 def estimated_scan_partitions(df: DataFrame, cap: int) -> int:
-    """Estimate how many input splits a file-backed scan yields, without
+    """Estimate how many scan partitions a file-backed read yields, without
     converting the plan to an RDD (``df.rdd.getNumPartitions()`` forces
     plan-to-RDD conversion — needless work on a column-pruned scan, and it
     pins the exact partitioning when only "enough splits?" is asked).
 
-    Counts ``df.inputFiles()`` and, only when the file count alone is below
-    ``cap``, stats those few files driver-side to add per-file splits at
-    spark.sql.files.maxPartitionBytes granularity. Returns a value >= cap
-    as soon as the estimate reaches it (callers only branch on < cap).
-    Returns 0 for non-file-backed frames (local relations, shuffled plans)
-    — callers should treat those as "unknown, repartition" (they are
-    test-sized in practice; every real input is a file scan).
+    Emulates FilePartition packing: maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes / defaultParallelism)) and files are
+    BIN-PACKED into splits of that size — a raw file count both overcounts
+    (many small files pack into one partition) and undercounts (one big
+    file splits). partitions ≈ (totalBytes + nFiles*openCost) /
+    maxSplitBytes. File sizes come from driver-side FS stats (up to
+    ``_STAT_LIMIT`` files; average-extrapolated beyond — metadata calls,
+    no data IO). Returns 0 for non-file-backed frames (local relations,
+    shuffled plans) — callers should treat those as "unknown, repartition"
+    (they are test-sized in practice; every real input is a file scan).
     """
     try:
         files = df.inputFiles()
@@ -38,21 +44,24 @@ def estimated_scan_partitions(df: DataFrame, cap: int) -> int:
         return 0
     if not files:
         return 0
-    if len(files) >= cap:
-        return len(files)
     spark = df.sparkSession
     try:
         mpb = parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes")
+        )
+        parallelism = spark.sparkContext.defaultParallelism
         jvm = spark._jvm
         jconf = spark.sparkContext._jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
+        sample = files[:_STAT_LIMIT]
+        sampled_bytes = 0
+        for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)
-            size = p.getFileSystem(jconf).getFileStatus(p).getLen()
-            total += max(1, math.ceil(size / mpb))
-            if total >= cap:
-                return total
-        return total
+            sampled_bytes += p.getFileSystem(jconf).getFileStatus(p).getLen()
+        total = sampled_bytes * len(files) // max(1, len(sample))
+        padded = total + len(files) * open_cost
+        max_split = min(mpb, max(open_cost, padded // max(1, parallelism)))
+        return max(1, math.ceil(padded / max(1, max_split)))
     except Exception:
         # Spark Connect / exotic filesystems: fall back to file count
         return len(files)

@@ -77,6 +77,36 @@ def test_compact_and_vacuum_roundtrip(spark, tmp_path):
     assert rep2["partitions"] == 0
 
 
+def test_recompaction_before_vacuum_never_duplicates(spark, tmp_path):
+    """Compacting AGAIN while the superseded chunk dirs still exist must
+    not double rows: the authoritative compaction snapshot (reserved
+    'compact' run-id prefix) is self-contained, so a later maintenance
+    pass sources from it alone, never from snapshot+chunks."""
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 3_000, partitions=4)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, full, base, run_id="chunk2")
+
+    rep1 = compact_routed(spark, base, run_id="compactA")
+    assert rep1["partitions"] > 0
+    # NO vacuum — chunk dirs and compactA coexist on disk
+    rep2 = compact_routed(spark, base, run_id="compactB")
+    # compactA is already one file per dir -> nothing to do
+    assert rep2["partitions"] == 0
+    assert read_routed(spark, base).count() == 3_000
+
+    # even a forced rewrite (simulate fragmentation by re-compacting after
+    # more chunk commits land in OTHER partitions) keeps rows exact
+    assert read_routed(spark, base).select(
+        "conv_id", "turn_idx").distinct().count() == 3_000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved 'compact' prefix"):
+        compact_routed(spark, base, run_id="maintenanceX")
+
+
 def test_compact_skips_open_partitions(spark, tmp_path):
     base = str(tmp_path / "out")
     df = generate_transcripts(spark, 2_000, partitions=4)

@@ -192,7 +192,7 @@ def test_kafka_wire_decode_and_source_seam(spark):
     assert row.conv_id == "c-1" and row.turn_idx == 3
     assert row.role == "assistant" and row.text == "hello"
 
-    if not kafka_connector_available():
+    if not kafka_connector_available(spark):
         with pytest.raises(ImportError, match="spark-sql-kafka"):
             build_stream_source(spark, "kafka", kafka_bootstrap="b:9092",
                                 topic="turns")
