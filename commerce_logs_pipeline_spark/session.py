@@ -118,6 +118,13 @@ def build_session(
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
         )
+        # Straggler insurance — standard 1000-executor posture, and it
+        # converts the (rare, observed) wedged pandas-UDF worker handshake
+        # from an indefinite stage hang into one re-launched task.
+        # Conservative thresholds: only clear outliers are duplicated.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.quantile", "0.95")
+        .config("spark.speculation.multiplier", "4")
     )
     if master is not None:
         b = b.master(master)
