@@ -106,10 +106,14 @@ def run_pipeline(
     manifest = ManifestStore(f"{base_path}/_manifest")
 
     # Feed and BALANCE every core: compressed text inputs can collapse to
-    # few read splits, and real inputs are Zipf-skewed by conversation —
-    # a round-robin repartition to 2x cores evens both (measured 2.3x
-    # faster parse at 32 cores on skewed 33-partition input). No-op-ish at
-    # real scale where inputs carry balanced >= 2x-cores partitions.
+    # few read splits, and real inputs are Zipf-skewed by conversation — a
+    # round-robin repartition to 2x cores evens both. Empirical rule, now
+    # confirmed twice: 2.3x faster parse at 32 cores on a skewed
+    # 33-partition input (r1), and 1.9x faster pass-1 at 4x8 executors on
+    # a BALANCED 52-split input (1.6 ragged waves -> 2 clean waves; a
+    # 1.25-wave threshold was tried and cost 2x, so low-wave-count
+    # raggedness matters as much as skew). No-op at real scale where
+    # inputs carry balanced >= 2x-cores splits.
     cores = spark.sparkContext.defaultParallelism
     transcripts = ensure_min_partitions(transcripts, cores * 2)
 
