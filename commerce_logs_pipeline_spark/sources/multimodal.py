@@ -166,8 +166,11 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             out["duration_ms"] = pdf["duration_ms"].astype("Int64")
             # exact IEEE division, no rounding: the same (n*1000.0)/d on
             # any engine yields the identical double
+            # pd.notna guard: duration_ms is a nullable Int64 series, so a
+            # null duration yields pd.NA whose truthiness RAISES on the
+            # executor (`if d` is ambiguous for NA)
             out["bytes_per_sec"] = [
-                (n * 1000.0) / d if d and d > 0 else None
+                (n * 1000.0) / d if pd.notna(d) and d > 0 else None
                 for n, d in zip(out["n_bytes"], out["duration_ms"])
             ]
             stats = pdf["content"].map(lambda b: _fake_decode(b or b""))

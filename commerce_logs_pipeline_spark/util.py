@@ -6,22 +6,27 @@ import math
 
 from pyspark.sql import DataFrame
 
-_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_UNITS = {
+    "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+    "p": 1 << 50,
+}
 
 
 def parse_bytes(s: str) -> int:
-    """'16m' / '134217728' / '1g' -> bytes (Spark conf byte-string grammar)."""
+    """'16m' / '128MB' / '134217728' / '1g' -> bytes (Spark conf byte-string
+    grammar: bare number, one-letter unit, or two-letter kb/mb/gb/tb/pb)."""
     s = s.strip().lower()
-    for suffix, mult in _UNITS.items():
-        if s.endswith(suffix):
-            return int(float(s[: -len(suffix)]) * mult)
+    if s.endswith("b") and len(s) >= 2 and s[-2] in "kmgtp":
+        s = s[:-1]  # 'mb' -> 'm' etc; plain '128b' keeps its 'b'
+    if s and s[-1] in _UNITS:
+        return int(float(s[:-1]) * _UNITS[s[-1]])
     return int(s)
 
 
 _STAT_LIMIT = 512  # driver-side FS stats are ~ms each; sample beyond this
 
 
-def estimated_scan_partitions(df: DataFrame, cap: int) -> int:
+def estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate how many scan partitions a file-backed read yields, without
     converting the plan to an RDD (``df.rdd.getNumPartitions()`` forces
     plan-to-RDD conversion — needless work on a column-pruned scan, and it
@@ -73,6 +78,6 @@ def ensure_min_partitions(df: DataFrame, min_parts: int) -> DataFrame:
     through untouched (no shuffle — the normal case at real scale);
     non-file-backed frames repartition unconditionally (unknown and
     test-sized)."""
-    if estimated_scan_partitions(df, min_parts) >= min_parts:
+    if estimated_scan_partitions(df) >= min_parts:
         return df
     return df.repartition(min_parts)

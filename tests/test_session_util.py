@@ -35,6 +35,13 @@ def test_parse_bytes():
     assert parse_bytes("1g") == 1 << 30
     assert parse_bytes("134217728") == 134217728
     assert parse_bytes("512k") == 512 << 10
+    # two-letter suffixes (Spark's own default conf strings use these;
+    # '128MB' previously fell into the broad-except file-count fallback)
+    assert parse_bytes("128MB") == 128 << 20
+    assert parse_bytes("1gb") == 1 << 30
+    assert parse_bytes("2tb") == 2 << 40
+    assert parse_bytes("128b") == 128
+    assert parse_bytes(" 64K ") == 64 << 10
 
 
 def test_ensure_min_partitions_file_backed(spark, tmp_path):
@@ -44,7 +51,7 @@ def test_ensure_min_partitions_file_backed(spark, tmp_path):
     # 8 files >= 4 requested -> untouched plan (no Exchange inserted)
     out = ensure_min_partitions(df, 4)
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
-    assert estimated_scan_partitions(df, 4) >= 4
+    assert estimated_scan_partitions(df) >= 4
     # 64 requested > splits available -> repartition added
     out2 = ensure_min_partitions(df, 64)
     plan2 = out2._jdf.queryExecution().executedPlan().toString()

@@ -243,6 +243,27 @@ def test_multimodal_audio_features(spark):
         assert 0.0 <= r.amp_mean <= 255.0
 
 
+def test_multimodal_audio_null_duration(spark):
+    """A null duration_ms must yield a null byterate, not crash the task
+    (pandas Int64 nulls are pd.NA, whose truthiness raises)."""
+    from commerce_logs_pipeline_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("a-null", "audio", "audio/wav", b"\x01\x02\x03\x04", None, None, None),
+            ("a-ok", "audio", "audio/wav", b"\x05\x06\x07\x08", None, None, 2000),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert rows["a-null"].bytes_per_sec is None
+    assert rows["a-null"].duration_ms is None
+    assert rows["a-ok"].bytes_per_sec == 4 * 1000.0 / 2000
+
+
 def test_multimodal_real_pil_decode(spark):
     """Optional-dependency path: with pillow importable the decode is REAL
     (open -> resize -> grayscale stats); without it, a clear ImportError.
