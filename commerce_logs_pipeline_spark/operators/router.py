@@ -205,10 +205,12 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
       committed run's rows win — correct when runs own whole partitions
       (the resume anti-join guarantees disjointness; a forced reprocess
       supersedes the old snapshot).
-    - incremental=True (streaming appends): rows of EVERY committed run
-      are visible — correct when micro-batches append disjoint row sets
-      into the same partitions (batch_id-keyed run dirs make replays
-      overwrite themselves, so no duplicates).
+    - incremental=True (streaming appends): rows of every VISIBLE
+      committed run — chunk runs append disjoint row sets (batch_id-keyed
+      run dirs make replays overwrite themselves, so no duplicates), and a
+      self-contained run (``compact``/``full`` prefix) supersedes all runs
+      committed before it, so compacted-but-not-yet-vacuumed partitions
+      and forced reprocesses read exactly once.
 
     Scale: the manifest holds one row per (day, bucket[, run]); the
     authoritative triple set is collected (thousands of rows) into an isin
@@ -219,7 +221,7 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
 
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     if incremental:
-        auth = manifest.committed_runs(spark)
+        auth = manifest.visible_runs(spark)
     else:
         auth = manifest.current_state(spark).select("day", "bucket", "run_id")
     triples = [
@@ -308,13 +310,21 @@ def compact_routed(
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     state = manifest.current_state(spark)
     closed = {
-        (r["day"], r["bucket"]): r["run_id"]
+        (r["day"], r["bucket"])
         for r in state.filter(F.col("status") == "closed").collect()
     }
     root = Path(pipeline_base) / "sinks" / "routed"
-    committed = {}
-    for r in manifest.committed_runs(spark).collect():
-        committed.setdefault((r["day"], r["bucket"]), set()).add(r["run_id"])
+    # The COMPLETE row set of a closed partition is the manifest's VISIBLE
+    # run set (checkpoint.ManifestStore.visible_runs): the latest
+    # self-contained run — a "compact" snapshot OR a "full" forced
+    # reprocess — plus chunk runs committed after it; all chunk runs when
+    # no self-contained run exists. Unioning ALL committed runs instead
+    # would permanently duplicate every row of partitions carrying
+    # overlapping whole-partition runs (forced reprocess over earlier
+    # commits, or re-compaction before vacuum_superseded ran).
+    visible: dict[tuple, set[str]] = {}
+    for r in manifest.visible_runs(spark).collect():
+        visible.setdefault((r["day"], r["bucket"]), set()).add(r["run_id"])
 
     def files_in(runs: set[str], day: str, bucket) -> tuple[int, int]:
         files = [
@@ -326,20 +336,10 @@ def compact_routed(
         ]
         return len(files), len({p.parent for p in files})
 
-    # The COMPLETE row set of a closed partition lives in exactly one of
-    # two places: the union of its committed chunk runs, OR — once a
-    # compaction has run — the compaction snapshot alone (its reserved
-    # "compact" run-id prefix marks it as self-contained). Sourcing from
-    # both would permanently double every row on a re-compaction invoked
-    # before vacuum_superseded reclaimed the superseded chunk dirs.
     todo: dict[tuple, set[str]] = {}
     files_before = 0
-    for (day, bucket), auth in closed.items():
-        source_runs = (
-            {auth}
-            if auth.startswith("compact")
-            else committed.get((day, bucket), set())
-        )
+    for day, bucket in closed:
+        source_runs = visible.get((day, bucket), set())
         n_files, n_dirs = files_in(source_runs, day, bucket)
         if len(source_runs) > 1 or n_files > n_dirs:
             todo[(day, bucket)] = source_runs
@@ -389,19 +389,33 @@ def compact_routed(
 
 def vacuum_superseded(spark, pipeline_base: str, compacted_run_id: str
                       ) -> list[str]:
-    """Delete the (runid, day, bucket) subtrees that a committed compaction
-    run superseded — the remove-orphan-files half of snapshot maintenance.
-    Deliberately scoped to partitions whose AUTHORITATIVE run is
-    ``compacted_run_id``: only a compaction run is guaranteed to contain a
-    partition's complete row set, so deleting other runs' subtrees there
-    can never lose rows (an unscoped "delete non-authoritative dirs" would
-    destroy earlier chunks of chunk-committed partitions). After this,
-    batch and incremental reads of those partitions resolve identically.
-    Returns removed paths."""
+    """Delete the (runid, day, bucket) subtrees that a committed
+    SELF-CONTAINED run superseded — the remove-orphan-files half of
+    snapshot maintenance. Deliberately scoped to partitions whose
+    AUTHORITATIVE run is ``compacted_run_id``, and that run must carry a
+    self-contained prefix (``compact`` snapshot or ``full`` reprocess):
+    only such runs are guaranteed to contain a partition's complete row
+    set, so deleting other runs' subtrees there can never lose rows (an
+    unscoped "delete non-authoritative dirs" would destroy earlier chunks
+    of chunk-committed partitions). After this, batch and incremental
+    reads of those partitions resolve identically. Returns removed
+    paths."""
     import shutil
     from pathlib import Path
 
-    from ..plans.checkpoint import ManifestStore
+    from ..plans.checkpoint import (
+        SELF_CONTAINED_PREFIXES,
+        ManifestStore,
+    )
+
+    if not compacted_run_id.startswith(SELF_CONTAINED_PREFIXES):
+        raise ValueError(
+            f"vacuum_superseded requires a self-contained run id "
+            f"({'/'.join(SELF_CONTAINED_PREFIXES)} prefix), got "
+            f"{compacted_run_id!r}: only such runs hold a partition's "
+            "complete row set, so scoping deletion to anything else could "
+            "destroy live chunk data"
+        )
 
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     owned = {

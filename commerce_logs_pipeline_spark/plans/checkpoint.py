@@ -27,13 +27,30 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from ..schemas import MANIFEST_SCHEMA
 
 KEY = ["day", "bucket"]
+
+# Run-id prefixes that declare a run SELF-CONTAINED: it holds its
+# partitions' ENTIRE row set, superseding every run committed before it
+# ("compact" = maintenance snapshot from compact_routed, "full" = forced
+# whole-partition reprocess). Everything else is a CHUNK (disjoint append:
+# resume tails, streaming batch-N micro-batches). The distinction is what
+# lets incremental readers and compaction union chunk runs without double
+# counting overlapping whole-partition runs.
+SELF_CONTAINED_PREFIXES = ("compact", "full")
+
+
+def is_self_contained(run_col: Column) -> Column:
+    """Column predicate: does this run_id declare a self-contained run?"""
+    cond = F.lit(False)
+    for p in SELF_CONTAINED_PREFIXES:
+        cond = cond | run_col.startswith(p)
+    return cond
 
 
 def new_run_id() -> str:
@@ -73,8 +90,54 @@ class ManifestStore:
 
     def committed_runs(self, spark: SparkSession) -> DataFrame:
         """Every committed (day, bucket, run_id) triple in the log —
-        the full snapshot lineage (incremental/streaming visibility)."""
+        the full snapshot lineage (includes superseded runs; most readers
+        want ``visible_runs``)."""
         return self._read_log(spark).select(*KEY, "run_id").dropDuplicates()
+
+    def visible_runs(self, spark: SparkSession) -> DataFrame:
+        """(day, bucket, run_id) triples that together hold each
+        partition's complete current row set, under the supersede
+        convention: the LATEST self-contained run (``compact``/``full``
+        prefix — see SELF_CONTAINED_PREFIXES) anchors the partition and
+        hides every run committed before it; chunk runs committed after
+        the anchor still append; with no anchor, every committed chunk is
+        visible (disjoint appends). This is what incremental reads and
+        compaction must union — ``committed_runs`` would double-count
+        partitions that carry overlapping whole-partition runs (a forced
+        reprocess, or a compaction whose superseded chunks have not been
+        vacuumed yet).
+
+        Scale: manifest-sized frames throughout (one row per partition
+        per run); the anchor join is broadcast."""
+        per_run = (
+            self._read_log(spark)
+            .groupBy(*KEY, "run_id")
+            .agg(F.max("updated_at").alias("_ts"))
+            .withColumn("_sc", is_self_contained(F.col("run_id")))
+        )
+        anchor = (
+            per_run.filter(F.col("_sc"))
+            .groupBy(*KEY)
+            .agg(
+                F.max(
+                    F.struct(F.col("_ts"), F.col("run_id").alias("_rid"))
+                ).alias("_a")
+            )
+            .select(
+                *KEY,
+                F.col("_a._ts").alias("_ats"),
+                F.col("_a._rid").alias("_arid"),
+            )
+        )
+        return (
+            per_run.join(F.broadcast(anchor), on=KEY, how="left")
+            .filter(
+                F.col("_ats").isNull()
+                | (F.col("run_id") == F.col("_arid"))
+                | ((~F.col("_sc")) & (F.col("_ts") > F.col("_ats")))
+            )
+            .select(*KEY, "run_id")
+        )
 
     def closed_partitions(self, spark: SparkSession) -> DataFrame:
         return self.current_state(spark).filter(F.col("status") == "closed").select(*KEY)
@@ -139,7 +202,7 @@ class ManifestStore:
         open_set = {(r["day"], r["bucket"]) for r in open_rows}
         triples = [
             f"{r['run_id']}\x1f{r['day']}\x1f{r['bucket']}"
-            for r in self.committed_runs(spark).collect()
+            for r in self.visible_runs(spark).collect()
             if (r["day"], r["bucket"]) in open_set
         ]
         if not triples:

@@ -102,7 +102,14 @@ def run_pipeline(
     the same inputs converges to the same state (X3/X9/X10 in SURVEY §4).
     """
     t0 = time.monotonic()
-    run_id = run_id or new_run_id()
+    # resume=False reprocesses WHOLE partitions, so its rows overlap any
+    # earlier commits of the same partitions: the auto-generated run id
+    # carries the "full" self-contained prefix (checkpoint.
+    # SELF_CONTAINED_PREFIXES) so incremental readers and compaction take
+    # this run as the partition's complete row set instead of unioning it
+    # with the runs it superseded. Caller-supplied run_ids declare their
+    # own intent (streaming batch-N replays are chunk appends).
+    run_id = run_id or (new_run_id() if resume else "full" + new_run_id())
     manifest = ManifestStore(f"{base_path}/_manifest")
 
     # Feed and BALANCE every core: compressed text inputs can collapse to

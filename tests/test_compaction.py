@@ -107,6 +107,69 @@ def test_recompaction_before_vacuum_never_duplicates(spark, tmp_path):
         compact_routed(spark, base, run_id="maintenanceX")
 
 
+def test_forced_reprocess_supersedes_chunks(spark, tmp_path):
+    """A forced whole-partition reprocess (resume=False) overlaps the
+    chunk runs committed before it. Its auto run id carries the 'full'
+    self-contained prefix, so incremental reads and compaction take it as
+    the partition's complete row set — never chunk+full doubled."""
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 2_000, partitions=4)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, full, base, run_id="chunk2")  # closes the latch
+
+    rep = run_pipeline(spark, full, base, resume=False)
+    assert rep.run_id.startswith("full")
+    # both read modes see each row exactly once, with chunk dirs on disk
+    assert read_routed(spark, base, incremental=True).count() == 2_000
+    assert read_routed(spark, base).count() == 2_000
+
+    # compaction sources ONLY the visible (full) run — r3 unioned all
+    # committed runs here and permanently doubled every row
+    crep = compact_routed(spark, base, run_id="compactA")
+    assert read_routed(spark, base).count() == 2_000
+    assert read_routed(spark, base, incremental=True).count() == 2_000
+    if crep["partitions"]:
+        removed = vacuum_superseded(spark, base, "compactA")
+        assert removed  # chunk + full dirs reclaimed
+        assert read_routed(spark, base).count() == 2_000
+
+
+def test_visible_runs_supersede_ordering(spark, tmp_path):
+    """visible_runs = latest self-contained run + chunks committed after
+    it; all chunks when no anchor exists."""
+    import datetime as dt
+
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+
+    ms = ManifestStore(str(tmp_path / "m"))
+    t = lambda m: dt.datetime(2025, 6, 15, 12, m)  # noqa: E731
+    rows = [
+        ("2025-06-15", 0, "open", 1, 10, 10, 0, 0, None, None, rid, ts)
+        for rid, ts in [
+            ("chunk1", t(1)), ("chunk2", t(2)),
+            ("fullA", t(3)),           # supersedes chunk1+chunk2
+            ("chunk3", t(4)),          # appends after the anchor
+            ("fullStale", t(0)),       # older anchor: hidden by fullA
+        ]
+    ] + [
+        # second partition: chunks only -> all visible
+        ("2025-06-15", 1, "open", 1, 10, 10, 0, 0, None, None, "chunkX", t(5)),
+        ("2025-06-15", 1, "open", 1, 10, 10, 0, 0, None, None, "chunkY", t(6)),
+    ]
+    ms.append(spark.createDataFrame(
+        rows,
+        "day string, bucket int, status string, max_turn_watermark long, "
+        "rows_processed long, rows_routed long, rows_skipped long, "
+        "rows_error long, first_processed_ts timestamp, "
+        "last_processed_ts timestamp, run_id string, updated_at timestamp",
+    ))
+    vis = {
+        (r["bucket"], r["run_id"]) for r in ms.visible_runs(spark).collect()
+    }
+    assert vis == {(0, "fullA"), (0, "chunk3"), (1, "chunkX"), (1, "chunkY")}
+
+
 def test_compact_skips_open_partitions(spark, tmp_path):
     base = str(tmp_path / "out")
     df = generate_transcripts(spark, 2_000, partitions=4)
@@ -116,8 +179,14 @@ def test_compact_skips_open_partitions(spark, tmp_path):
                  run_id="chunk2", close_partitions=False)
     rep = compact_routed(spark, base)
     assert rep["partitions"] == 0  # open tails are never rewritten
-    # vacuum scoped to a compaction run id touches nothing here
-    assert vacuum_superseded(spark, base, "nonexistent") == []
+    # vacuum scoped to an unknown self-contained run id touches nothing
+    assert vacuum_superseded(spark, base, "compactNonexistent") == []
+    # a chunk run id can never anchor a vacuum (it may not hold a
+    # partition's complete row set)
+    import pytest
+
+    with pytest.raises(ValueError, match="self-contained"):
+        vacuum_superseded(spark, base, "chunk1")
     # both chunk dirs still fully readable incrementally
     n = df.filter(F.col("turn_idx") <= 3).count()
     assert read_routed(spark, base, incremental=True).count() == n
