@@ -237,24 +237,23 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
 def vacuum_uncommitted(spark, pipeline_base: str) -> list[str]:
     """Delete run dirs never referenced by any manifest commit — the
     expire-orphan-snapshots maintenance op (Iceberg expire_snapshots
-    analog). Returns removed paths."""
-    import shutil
-    from pathlib import Path
-
+    analog). All listing/deletion goes through the Hadoop FileSystem API,
+    so it runs against any store the cluster can reach (S3/HDFS/ABFS),
+    not just the local filesystem. Returns removed paths."""
     from ..plans.checkpoint import ManifestStore
+    from ..util import fs_delete, fs_glob
 
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     committed = {
         r["run_id"] for r in manifest.committed_runs(spark).collect()
     }
     removed = []
-    root = Path(pipeline_base) / "sinks" / "routed"
-    if root.exists():
-        for d in root.glob("runid=*"):
-            rid = d.name.split("=", 1)[1]
-            if rid not in committed:
-                shutil.rmtree(d)
-                removed.append(str(d))
+    root = f"{pipeline_base}/sinks/routed"
+    for d in fs_glob(spark, f"{root}/runid=*"):
+        rid = d.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[1]
+        if rid not in committed:
+            fs_delete(spark, d)
+            removed.append(d)
     return removed
 
 
@@ -297,9 +296,8 @@ def compact_routed(
 
     Returns {"run_id", "partitions", "files_before", "files_after"}.
     """
-    from pathlib import Path
-
     from ..plans.checkpoint import ManifestStore, new_run_id
+    from ..util import fs_glob
 
     if run_id is not None and not run_id.startswith("compact"):
         raise ValueError(
@@ -313,7 +311,7 @@ def compact_routed(
         (r["day"], r["bucket"])
         for r in state.filter(F.col("status") == "closed").collect()
     }
-    root = Path(pipeline_base) / "sinks" / "routed"
+    root = f"{pipeline_base}/sinks/routed"
     # The COMPLETE row set of a closed partition is the manifest's VISIBLE
     # run set (checkpoint.ManifestStore.visible_runs): the latest
     # self-contained run — a "compact" snapshot OR a "full" forced
@@ -330,11 +328,13 @@ def compact_routed(
         files = [
             p
             for rid in runs
-            for p in root.glob(
-                f"runid={rid}/category=*/day={day}/bucket={bucket}/*.parquet"
+            for p in fs_glob(
+                spark,
+                f"{root}/runid={rid}/category=*/day={day}/"
+                f"bucket={bucket}/*.parquet",
             )
         ]
-        return len(files), len({p.parent for p in files})
+        return len(files), len({p.rsplit("/", 1)[0] for p in files})
 
     todo: dict[tuple, set[str]] = {}
     files_before = 0
@@ -381,7 +381,10 @@ def compact_routed(
     ).withColumn("updated_at", F.current_timestamp())
     manifest.append(events)
     files_after = len(
-        list(root.glob(f"runid={run_id}/category=*/day=*/bucket=*/*.parquet"))
+        fs_glob(
+            spark,
+            f"{root}/runid={run_id}/category=*/day=*/bucket=*/*.parquet",
+        )
     )
     return {"run_id": run_id, "partitions": len(todo),
             "files_before": files_before, "files_after": files_after}
@@ -400,13 +403,11 @@ def vacuum_superseded(spark, pipeline_base: str, compacted_run_id: str
     of chunk-committed partitions). After this, batch and incremental
     reads of those partitions resolve identically. Returns removed
     paths."""
-    import shutil
-    from pathlib import Path
-
     from ..plans.checkpoint import (
         SELF_CONTAINED_PREFIXES,
         ManifestStore,
     )
+    from ..util import fs_delete, fs_glob
 
     if not compacted_run_id.startswith(SELF_CONTAINED_PREFIXES):
         raise ValueError(
@@ -428,15 +429,15 @@ def vacuum_superseded(spark, pipeline_base: str, compacted_run_id: str
         .collect()
     }
     removed = []
-    root = Path(pipeline_base) / "sinks" / "routed"
-    if root.exists():
-        for d in root.glob("runid=*/category=*/day=*/bucket=*"):
-            rid = d.parts[-4].split("=", 1)[1]
-            day = d.parts[-2].split("=", 1)[1]
-            bucket = int(d.parts[-1].split("=", 1)[1])
-            if rid != compacted_run_id and (day, bucket) in owned:
-                shutil.rmtree(d)
-                removed.append(str(d))
+    root = f"{pipeline_base}/sinks/routed"
+    for d in fs_glob(spark, f"{root}/runid=*/category=*/day=*/bucket=*"):
+        parts = d.rstrip("/").split("/")
+        rid = parts[-4].split("=", 1)[1]
+        day = parts[-2].split("=", 1)[1]
+        bucket = int(parts[-1].split("=", 1)[1])
+        if rid != compacted_run_id and (day, bucket) in owned:
+            fs_delete(spark, d)
+            removed.append(d)
     return removed
 
 

@@ -23,6 +23,35 @@ def parse_bytes(s: str) -> int:
     return int(s)
 
 
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    resolves the right implementation for ANY supported URI scheme
+    (file://, hdfs://, s3a://, abfs://...), unlike pathlib/shutil which
+    silently only work on the local filesystem. This is the same JVM
+    surface estimated_scan_partitions already uses for file stats."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_glob(spark, pattern: str) -> list[str]:
+    """Fully-qualified URI strings matching a Hadoop glob pattern
+    (supports * and {a,b} segments). Empty list when nothing matches or
+    the parent does not exist."""
+    fs, jpath = hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
+
+
+def fs_delete(spark, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API."""
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, True))
+
+
 _STAT_LIMIT = 512  # driver-side FS stats are ~ms each; sample beyond this
 
 

@@ -12,6 +12,7 @@ from commerce_logs_pipeline_spark.operators.router import (
     compact_routed,
     read_routed,
     vacuum_superseded,
+    vacuum_uncommitted,
 )
 from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
 from commerce_logs_pipeline_spark.synth import generate_transcripts
@@ -133,6 +134,28 @@ def test_forced_reprocess_supersedes_chunks(spark, tmp_path):
         removed = vacuum_superseded(spark, base, "compactA")
         assert removed  # chunk + full dirs reclaimed
         assert read_routed(spark, base).count() == 2_000
+
+
+def test_maintenance_on_uri_scheme_base(spark, tmp_path):
+    """compact/vacuum list and delete through the Hadoop FileSystem API:
+    a ``file://`` URI base (the non-local-path scheme shape of
+    s3a://.../hdfs://...) works end-to-end — pathlib/shutil silently
+    could not."""
+    base = "file://" + str(tmp_path / "out")
+    full = generate_transcripts(spark, 1_500, partitions=4)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, full, base, run_id="chunk2")  # closes the latch
+
+    rep = compact_routed(spark, base, run_id="compactU")
+    assert rep["partitions"] > 0
+    assert rep["files_after"] > 0  # FS-API glob saw the new files
+    assert read_routed(spark, base).count() == 1_500
+
+    removed = vacuum_superseded(spark, base, "compactU")
+    assert removed and all(p.startswith("file:/") for p in removed)
+    assert read_routed(spark, base, incremental=True).count() == 1_500
+    assert vacuum_uncommitted(spark, base) == []  # nothing orphaned
 
 
 def test_visible_runs_supersede_ordering(spark, tmp_path):
