@@ -79,11 +79,16 @@ def run(args, spark) -> int:
     elif args.cmd == "keys":
         out = df
         if args.env is not None:
-            # environment lives in the enrich dims; routed carries category
-            # + service columns — match either
-            cols = set(out.columns)
-            env_col = "environment" if "environment" in cols else "category"
-            out = out.filter(F.col(env_col) == args.env)
+            # environment comes from the enrich dims; if this table was
+            # routed without it, SAY so — silently filtering some other
+            # column would return confidently-wrong (usually empty) rows
+            if "environment" not in out.columns:
+                raise SystemExit(
+                    "keys --env: the routed table has no 'environment' "
+                    "column (pipeline ran without environment enrichment); "
+                    "available columns: " + ", ".join(sorted(out.columns))
+                )
+            out = out.filter(F.col("environment") == args.env)
         if args.prefix is not None:
             out = out.filter(F.col("category").startswith(args.prefix))
         _emit(out, args.limit, args.json)

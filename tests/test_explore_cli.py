@@ -33,3 +33,15 @@ def test_explore_subcommands(spark, tmp_path, capsys):
         import json
 
         json.loads(out[0])  # JSON-lines contract holds
+
+
+def test_explore_keys_env_errors_when_column_absent(spark, tmp_path, capsys):
+    """keys --env must ERROR when the routed table carries no environment
+    column — r3 silently filtered `category` instead, returning
+    confidently-wrong empty results."""
+    import pytest
+
+    base = str(tmp_path / "out")
+    run_pipeline(spark, generate_transcripts(spark, 500, partitions=2), base)
+    with pytest.raises(SystemExit, match="no 'environment' column"):
+        explore.main(["--base", base, "keys", "--env", "prod"], spark=spark)
