@@ -77,6 +77,21 @@ def kafka_connector_available(spark: SparkSession | None = None) -> bool:
         return False
 
 
+def encode_kafka_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Transcript frame -> Kafka wire columns (the producer half of the
+    seam): key = conv_id bytes, so all turns of one conversation land in
+    one Kafka partition (per-stream ordering, the reference's keyed
+    Ingestion.Blobs production), value = one JSON turn per record. The
+    exact inverse of ``decode_kafka_transcripts`` — round-trip pinned by
+    test so the wire contract is verified logic, not just typed."""
+    return transcripts.select(
+        F.col("conv_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
+        ).cast("binary").alias("value"),
+    )
+
+
 def decode_kafka_transcripts(raw: DataFrame) -> DataFrame:
     """Kafka wire -> transcript frame: each record's value is one JSON
     transcript turn (the reference's ``Ingestion.Blobs`` message analog,

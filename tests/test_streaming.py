@@ -198,3 +198,36 @@ def test_kafka_wire_decode_and_source_seam(spark):
                                 topic="turns")
     with pytest.raises(ValueError, match="unknown stream source"):
         build_stream_source(spark, "pulsar")
+
+
+def test_kafka_wire_round_trip(spark):
+    """encode -> decode over the wire columns is lossless for every
+    transcript field (including null text/tool and sub-second
+    timestamps), and the key carries conv_id bytes for per-conversation
+    Kafka partition ordering."""
+    import datetime as dt
+
+    from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+        decode_kafka_transcripts,
+        encode_kafka_transcripts,
+    )
+    from commerce_logs_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("c-1", 0, "user", "hi there", None,
+         dt.datetime(2024, 1, 1, 0, 0, 5, 250000)),
+        ("c-1", 1, "assistant", None, "search",
+         dt.datetime(2024, 1, 1, 0, 0, 6)),
+        ("c-2", 0, "tool", "{\"a\": 1}", "calc",
+         dt.datetime(2024, 6, 30, 23, 59, 59, 999000)),
+    ]
+    src = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    wire = encode_kafka_transcripts(src)
+    keys = [bytes(r.key).decode() for r in wire.collect()]
+    assert sorted(keys) == ["c-1", "c-1", "c-2"]
+    back = decode_kafka_transcripts(wire)
+    # from_json fields are always nullable; names+types must match exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
