@@ -988,6 +988,89 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_ann_recall_at_k(spark, sf):
+    """Measured ANN approximation quality (VERDICT r3 #4): per-query
+    recall@5 of multiprobe LSH top-k (probes=1 — each query also probes
+    the bucket across its weakest plane) against brute-force top-k."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = ann.lsh_topk(emb, queries, k=5, n_planes=6, dim=64, probes=1)
+    exact = ann.brute_force_topk(emb, queries, k=5)
+    return ann.recall_at_k(approx, exact).orderBy("query_id")
+
+
+def _sql_margin_pairs(n_planes: int, dim: int, vcol: str = "v") -> str:
+    """[[round(abs(margin_p), 6), 2^p], ...] — the multiprobe ranking
+    list; lexicographic list_sort matches Spark's array_sort on
+    struct(m, bit) including the bit tie-break."""
+    from commerce_logs_pipeline_spark.functions.similarity import plane_matrix
+
+    return ",\n             ".join(
+        f"[round(abs(list_dot_product({vcol}, ["
+        + ",".join(str(s) for s in plane)
+        + f"])), 6), {float(2 ** p)}]"
+        for p, plane in enumerate(plane_matrix(n_planes, dim))
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+    SELECT vec_id, v,
+           {_sql_plane_bits(6, 64)} AS bucket
+    FROM e
+), q0 AS (
+    SELECT vec_id AS query_id, bucket,
+           CAST(list_sort([{_sql_margin_pairs(6, 64)}])[1][2] AS INT)
+               AS wbit
+    FROM b WHERE vec_id < 20
+), qp AS (
+    SELECT query_id, bucket FROM q0
+    UNION ALL
+    SELECT query_id, xor(bucket, wbit) FROM q0
+), cand AS (
+    SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+    FROM b c JOIN qp USING (bucket)
+    WHERE c.vec_id != query_id
+), s AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_dot_product(cb.v, qb.v)
+                 / (sqrt(list_dot_product(cb.v, cb.v))
+                    * sqrt(list_dot_product(qb.v, qb.v))), 4) AS cos
+    FROM cand
+    JOIN b qb ON qb.vec_id = cand.query_id
+    JOIN b cb ON cb.vec_id = cand.neighbor_id
+), approx AS (
+    SELECT query_id, neighbor_id FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+), ex AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(c.v, q.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 4) AS cos
+    FROM e c, e q WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+), exact AS (
+    SELECT query_id, neighbor_id FROM ex
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+), hits AS (
+    SELECT a.query_id, count(*) AS h
+    FROM approx a JOIN exact USING (query_id, neighbor_id)
+    GROUP BY a.query_id
+)
+SELECT exact.query_id,
+       round(coalesce(any_value(h), 0) * 1.0 / count(*), 4) AS recall
+FROM exact LEFT JOIN hits USING (query_id)
+GROUP BY exact.query_id
+ORDER BY exact.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Transcript pipeline (flagship). The corpus is synthesized with the
 # PORTABLE generator (md5-derived mixing, integer-exact skew) so DuckDB can
@@ -1747,6 +1830,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),
+    "ann_recall_at_k": (q_ann_recall_at_k, _sql_ann_recall()),
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
     "trace_assembly": (q_trace_assembly, _sql_trace_assembly()),
     "profile_json_fields": (q_profile_fields, _sql_profile_fields()),

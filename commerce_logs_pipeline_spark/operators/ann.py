@@ -6,7 +6,12 @@
   volume is O(partitions * k) per query, not O(corpus).
 - lsh_topk: random-hyperplane LSH bucketing (deterministic seeded planes)
   restricts scoring to same-bucket candidates — the sub-linear scale path;
-  recall < 1.0 by construction, multiprobe widens it.
+  recall < 1.0 by construction. ``probes`` > 0 turns on multiprobe: each
+  query also probes the buckets reached by flipping its weakest
+  (smallest-margin) plane bits, lifting recall toward exact at
+  (probes+1)x candidate cost with the same plan shape.
+- recall_at_k: measured approximation quality — per-query overlap of an
+  approximate top-k with the exact one.
 
 At 100 TB the brute-force path stays viable only for small query batches
 (cost = corpus scan per batch); the LSH path is the default for bulk
@@ -66,6 +71,36 @@ def hyperplane_bucket(vec, planes: list[list[float]]):
     return bucket
 
 
+def query_probe_buckets(vec, planes: list[list[float]], probes: int):
+    """Array of LSH buckets a query should probe: its own bucket first,
+    then the buckets reached by flipping each of the ``probes`` weakest
+    plane bits (smallest |margin| = the plane the vector most nearly
+    straddles — the classic multiprobe heuristic). Margins are rounded to
+    6 dp before ranking so the probe order is reproducible bit-for-bit in
+    an external SQL oracle (double ULP noise cannot flip an argmin at
+    1e-6 granularity; the ordering itself is physically meaningless at
+    that scale). Ties break on the plane bit, matching array_sort struct
+    ordering."""
+    margins = [
+        F.round(F.abs(dot(vec, F.array(*[F.lit(s) for s in plane]))), 6)
+        for plane in planes
+    ]
+    base = hyperplane_bucket(vec, planes)
+    if probes <= 0:
+        return F.array(base)
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(m.alias("m"), F.lit(2 ** p).alias("bit"))
+            for p, m in enumerate(margins)
+        ])
+    )
+    flips = F.slice(ranked, 1, probes)
+    return F.concat(
+        F.array(base),
+        F.transform(flips, lambda s: base.bitwiseXOR(s["bit"])),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,27 +111,67 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     exclude_self: bool = True,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored.
 
     Equi-join on bucket replaces the cross join — at scale this is a
     shuffle join on a low-cardinality key with ~corpus/2^planes candidates
-    per query.
+    per query. ``probes`` > 0 explodes each query into its multiprobe
+    bucket set (query side only — the corpus keeps ONE bucket per vector,
+    so the index size is unchanged); candidates reached through several
+    probes are deduped before scoring.
     """
     planes = plane_matrix(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes))
-    q = queries.select(
-        F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("_qv"), planes))
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .withColumn("cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4))
-        .select("query_id", "neighbor_id", "cos")
+    q = (
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        # withColumn (not inline-in-explode): the probe array is an
+        # expensive multi-ref intermediate, which CollapseProject leaves
+        # materialized instead of re-inlining into the Generate
+        .withColumn(
+            "_probes", query_probe_buckets(F.col("_qv"), planes, probes)
+        )
+        .withColumn("bucket", F.explode("_probes"))
+        .drop("_probes")
     )
+    cand = c.join(F.broadcast(q), on="bucket")
+    if probes > 0:
+        # a neighbor reachable through several probe buckets scores once
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4)
+    ).select("query_id", "neighbor_id", "cos")
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     return topk_per_group(
         scored, ["query_id"], "cos", k, ascending=False, tiebreak="neighbor_id"
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Measured approximation quality: per-query |approx ∩ exact| /
+    |exact| over two top-k result frames (columns query_id, neighbor_id).
+    One broadcast-sized join — both inputs are O(queries * k)."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        e.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
     )

@@ -23,19 +23,53 @@ discipline as operators/skew.py.
 
 Cache contract: the self-join operators persist their first-stage products
 (shingle base / banded / fingerprint frames) because a plan-tree reference
-re-executes the subtree otherwise. The persisted frames stay registered in
-the session's CacheManager until the caller releases them — callers that
-invoke these operators repeatedly in one long-lived session should
-``spark.catalog.clearCache()`` (or unpersist) after materializing each
-result, or storage accumulates (bench.py does exactly this between
-queries).
+re-executes the subtree otherwise. Wrap calls in ``released_after()`` and
+materialize (collect/write) inside the scope — every intermediate the
+operators persisted is unpersisted on exit. Outside the scope the frames
+stay registered until the caller releases them (clearCache/unpersist),
+the long-lived-session footgun VERDICT r3 #4 flagged.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
+
+# --- scoped cache registry -------------------------------------------------
+_ACTIVE_SCOPE: list[DataFrame] | None = None
+
+
+def _persist(df: DataFrame,
+             level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """Persist an operator intermediate; inside a ``released_after`` scope
+    the handle is tracked for automatic unpersist on exit."""
+    df = df.persist(level)
+    if _ACTIVE_SCOPE is not None:
+        _ACTIVE_SCOPE.append(df)
+    return df
+
+
+@contextmanager
+def released_after():
+    """Scope that releases every intermediate the dedup/ANN operators
+    persist. Materialize results INSIDE the scope (after exit the result
+    plans recompute from source — still correct, no longer cached):
+
+        with released_after():
+            pairs = minhash_lsh_pairs(docs).collect()
+
+    Nests: an inner scope releases only its own persists."""
+    global _ACTIVE_SCOPE
+    prev, _ACTIVE_SCOPE = _ACTIVE_SCOPE, []
+    try:
+        yield
+    finally:
+        scope, _ACTIVE_SCOPE = _ACTIVE_SCOPE, prev
+        for f in scope:
+            f.unpersist()
 
 from ..functions.similarity import (
     hamming64,
@@ -179,8 +213,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("bn") > max_bucket)
         .select("shingle")
     )
-    surv = exploded.join(hot, on="shingle", how="left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK  # feeds sizes + both join sides
+    surv = _persist(  # feeds sizes + both join sides
+        exploded.join(hot, on="shingle", how="left_anti")
     )
     # per-doc sizes over the surviving universe (tiny frame: one row/doc)
     n_filtered = surv.groupBy("id").agg(F.count("*").alias("n"))
@@ -242,9 +276,7 @@ def minhash_lsh_pairs(
     # base feeds the signature AND both verify re-attach joins; banded
     # self-joins against itself — persist both so the tokenize/shingle/hash
     # work is paid once (plan-tree references re-execute, they don't share)
-    base = _shingled(df, text_col, id_col, k, hashed=not portable).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = _persist(_shingled(df, text_col, id_col, k, hashed=not portable))
     if portable:
         sig_col = minhash_signature(F.col("sh"), n_hashes, portable=True)
     else:
@@ -271,11 +303,10 @@ def minhash_lsh_pairs(
     # hot-bucket guard: map-side-partial count + anti-join against the
     # over-limit buckets only (same skew-safe shape as the ngram guard —
     # a window count would funnel each hot bucket through one task)
-    banded_all = (
+    banded_all = _persist(  # feeds count + both sides
         sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds count + both sides
     )
     hot = (
         banded_all.groupBy("band", "bucket")
@@ -328,10 +359,9 @@ def simhash_dups(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     ).filter(F.size("_toks") > 0)
-    fp = (
+    fp = _persist(  # 16 bytes/doc; feeds 4 subtrees
         with_simhash(toks, F.col("_toks"), out="fp", portable=portable)
         .select("id", "fp")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # 16 bytes/doc; feeds 4 subtrees
     )
     blocks = [
         F.struct(
@@ -388,7 +418,7 @@ def embedding_dups(
             F.lit(0)
         )
         bucket = bucket + bit
-    b = b.withColumn("bucket", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    b = _persist(b.withColumn("bucket", bucket))
     sizes = b.groupBy("bucket").agg(F.count("*").alias("bn"))
     b = b.join(
         sizes.filter(F.col("bn") <= max_bucket).select("bucket"), on="bucket"

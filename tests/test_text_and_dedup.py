@@ -84,6 +84,27 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert got <= truth
 
 
+def test_released_after_unpersists_intermediates(spark, docs):
+    """The scoped-cache contract: inside released_after() the operators'
+    persisted intermediates are live; on exit nothing new stays registered
+    in the session (the r3 long-lived-session footgun)."""
+    jsc = spark.sparkContext._jsc
+    # a plan DISTINCT from every other test's (the CacheManager dedupes
+    # identical cached plans, which would mask the new persists)
+    d2 = docs.withColumn("text", F.concat(F.col("text"), F.lit(" scoped")))
+    before = jsc.getPersistentRDDs().size()
+    with dedup.released_after():
+        pairs = dedup.minhash_lsh_pairs(d2, k=3, verify_threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 2) in got
+        assert jsc.getPersistentRDDs().size() > before  # cache in use
+        # nested scope releases only its own persists
+        with dedup.released_after():
+            dedup.simhash_dups(d2, max_hamming=3).collect()
+        assert jsc.getPersistentRDDs().size() > before  # outer still live
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_simhash_identical_and_hamming(spark, docs):
     fp = with_simhash(
         docs.withColumn("_t", TX.tokens(F.lower(F.col("text")))),
@@ -148,6 +169,33 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
         emax[r.query_id] = max(emax.get(r.query_id, -2.0), r.cos)
     for r in approx.collect():
         assert r.cos <= emax[r.query_id] + 1e-9
+
+
+def test_lsh_multiprobe_lifts_recall(spark):
+    """Multiprobe (flip weakest plane bits) must never lower recall and
+    must strictly lift it on a corpus where single-bucket probing misses
+    neighbors across a plane boundary; full-probe (probes = n_planes)
+    recovers every same-halfspace candidate its buckets can reach."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.11), math.sin(i * 0.11),
+             0.3 * math.cos(i * 0.7), 0.3 * math.sin(i * 0.7)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 10")
+    exact = ann.brute_force_topk(df, q, k=5)
+
+    def avg_recall(probes: int) -> float:
+        approx = ann.lsh_topk(df, q, k=5, n_planes=4, dim=4, probes=probes)
+        rec = ann.recall_at_k(approx, exact).collect()
+        return sum(r.recall for r in rec) / len(rec)
+
+    r0, r1, r2 = avg_recall(0), avg_recall(1), avg_recall(2)
+    assert r0 <= r1 <= r2  # monotone in probe count
+    assert r2 > r0  # and strictly better somewhere on this corpus
+    assert r2 <= 1.0
 
 
 def test_hamming64_column(spark):
