@@ -185,19 +185,38 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     # try-fmt1-else-fmt2). Kept as SEPARATE from_json calls so "Logs" (fmt1)
     # and "logs" (apache) never share a struct — field access by name would
     # be AMBIGUOUS_REFERENCE_TO_FIELDS under default spark.sql.caseSensitive
-    # =false. Both parses are gated on the json_like prefilter so non-JSON
-    # turns (tool calls, conversational text) skip the JSON kernel entirely.
+    # =false. Gating (the parse kernel is the DRAM-bound hot stage, so each
+    # pass runs on the narrowest provable row set):
+    # - both passes skip non-JSON turns entirely (json_like);
+    # - fmt2 runs only on rows carrying an fmt2 key needle (fmt2_prefilter);
+    # - fmt1 SKIPS rows that are fmt2-needled UNLESS they carry the fmt1
+    #   '"Logs"' key text — every genuine fmt1 line contains it by
+    #   construction, so fmt1 lines can never lose their parse, while pure
+    #   fmt2 rows (~half the JSON corpus) stop paying a second from_json.
+    #   Malformed fmt2-like JSON keeps its "invalid JSON" dead-letter via
+    #   the fmt2 pass's own corrupt column.
+    is_fmt2_needled = fmt2_prefilter(txt)
     fmt1 = F.when(
-        json_like,
+        json_like & (txt.contains('"Logs"') | ~is_fmt2_needled),
         F.from_json(
             txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
         ),
     )
-    fmt2_like = json_like & fmt2_prefilter(txt)
-    fmt2 = F.when(fmt2_like, F.from_json(txt, FMT2_SCHEMA))
+    fmt2_like = json_like & is_fmt2_needled
+    fmt2 = F.when(
+        fmt2_like,
+        F.from_json(
+            txt, FMT2_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
+        ),
+    )
 
     if use_pandas_grok:
-        tool_struct = grok_udf(TOOL_CALL_PATTERN)(txt)
+        # the Arrow transfer to the Python grok worker is per-byte DRAM +
+        # IPC cost: ship NULL (validity bit only) for rows that cannot
+        # match the anchored TOOL_CALL pattern instead of their full text
+        tool_struct = grok_udf(TOOL_CALL_PATTERN)(
+            F.when(txt.startswith("TOOL_CALL "), txt)
+        )
     else:  # pure-Column fallback engine, same semantics
         tool_struct = F.struct(
             F.nullif(F.regexp_extract(txt, r"^TOOL_CALL tool=(\w+)", 1), F.lit(""))
@@ -221,57 +240,51 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     ctx = logs1["contextMap"]
     apache = f2["logs"]
 
-    corrupt = f1["_corrupt_record"].isNotNull()
+    _corrupt = (
+        f1["_corrupt_record"].isNotNull() | f2["_corrupt_record"].isNotNull()
+    )
 
     # --- classifiers ------------------------------------------------------
-    is_tool = F.col("_tool")["tool_name"].isNotNull()
+    _is_tool = F.col("_tool")["tool_name"].isNotNull()
     # proxy classifier (extractor.go:820-832)
-    is_proxy = ~corrupt & (
+    _is_proxy = ~_corrupt & (
         apache["localServerName"].isNotNull() | apache["cache status"].isNotNull()
     )
-    # HTTP-vs-app classifier (extractor.go:103-146)
-    has_ctx_request = ctx.isNotNull() & F.map_contains_key(ctx, "requestLine")
+    # HTTP-vs-app classifier (extractor.go:103-146). Key-presence checks
+    # are struct-field isNotNull now that contextMap is schema-typed
+    # (schemas.py rationale) — O(1) field refs instead of map scans.
+    has_ctx_request = ctx.isNotNull() & ctx["requestLine"].isNotNull()
     http_ish = ctx.isNotNull() & (
-        F.map_contains_key(ctx, "statusCode")
-        | F.map_contains_key(ctx, "bytesSent")
-        | F.map_contains_key(ctx, "processMillis")
-        | F.map_contains_key(ctx, "remoteHost")
+        ctx["statusCode"].isNotNull()
+        | ctx["bytesSent"].isNotNull()
+        | ctx["processMillis"].isNotNull()
+        | ctx["remoteHost"].isNotNull()
     )
     app_fields_in_ctx = ctx.isNotNull() & (
-        F.map_contains_key(ctx, "sourceClassName")
-        | F.map_contains_key(ctx, "sourceMethodName")
+        ctx["sourceClassName"].isNotNull()
+        | ctx["sourceMethodName"].isNotNull()
     )
-    is_http = ~corrupt & (has_ctx_request | (http_ish & ~app_fields_in_ctx))
-    is_app = ~corrupt & (
+    _is_http = ~_corrupt & (has_ctx_request | (http_ish & ~app_fields_in_ctx))
+    _is_app = ~_corrupt & (
         logs1["instant"].isNotNull()
         | logs1["level"].isNotNull()
         | logs1["message"].isNotNull()
     )
-    is_container = ~corrupt & f2["log"].isNotNull()
+    _is_container = ~_corrupt & f2["log"].isNotNull()
 
     # --- request-line fields (shared by http + proxy) ---------------------
-    request_line = F.when(is_proxy, apache["requestFirstLine"]).otherwise(
+    _request_line = F.when(_is_proxy, apache["requestFirstLine"]).otherwise(
         ctx["requestLine"]
-    )
-    method = F.regexp_extract(request_line, REQUEST_LINE_RX, 1)
-    path = F.regexp_extract(request_line, REQUEST_LINE_RX, 2)
-    protocol = F.regexp_extract(request_line, REQUEST_LINE_RX, 3)
-
-    # skip rules (extractor.go:152-154, :287-311) — silent drops
-    bad_request_line = request_line.isNotNull() & (
-        (request_line == "-")
-        | (protocol != "HTTP")
-        | ~method.isin(STANDARD_METHODS)
     )
 
     # thrown is string-OR-object in the wire format (extractor.go:463-477
     # re-marshals the object form). The struct schema types it string, so
     # the object form parses to null there; fall back to the raw JSON text
     # via get_json_object (returns the serialized object — the re-marshal
-    # analog). Evaluated lazily: only rows whose struct field is null pay
-    # the second parse, and only inside app/error branches.
-    thrown_col = F.coalesce(
-        logs1["thrown"], F.get_json_object(txt, "$.Logs.thrown")
+    # analog). Gated to app rows so only they can pay the second parse.
+    _thrown = F.when(
+        _is_app,
+        F.coalesce(logs1["thrown"], F.get_json_object(txt, "$.Logs.thrown")),
     )
 
     # --- timestamps (ns canonical, extraction.go:68-69) -------------------
@@ -284,10 +297,56 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     root_ts = F.coalesce(f2["@timestamp"], f2["time"])
     ts_fmt2_ns = F.unix_micros(root_ts.try_cast("timestamp")) * F.lit(1000)
 
-    ts_ns = (
-        F.when(is_http, ts_http_ns)
-        .when(is_app, ts_app_ns)
-        .when(is_proxy | is_container, ts_fmt2_ns)
+    _ts_ns = (
+        F.when(_is_http, ts_http_ns)
+        .when(_is_app, ts_app_ns)
+        .when(_is_proxy | _is_container, ts_fmt2_ns)
+    )
+
+    # MATERIALIZE the shared classifier/extract intermediates as real
+    # columns in ONE project layer. Every one of them is referenced by
+    # several downstream output columns; left as Python expression trees
+    # they would be COPIED into each consumer, and copies sitting inside
+    # different CASE WHEN branches defeat codegen subexpression
+    # elimination (conditional CSE only unifies subtrees common to ALL
+    # branches). As non-cheap multi-referenced aliases, CollapseProject
+    # keeps this layer instead of re-inlining — measured 11.8 s -> ~7 s
+    # on the 4M-turn parse stage at local[32].
+    df = df.withColumns({
+        "_json_like": json_like,
+        "_is_blank": is_blank,
+        "_corrupt": _corrupt,
+        "_is_tool": _is_tool,
+        "_is_proxy": _is_proxy,
+        "_is_http": _is_http,
+        "_is_app": _is_app,
+        "_is_container": _is_container,
+        "_req_line": _request_line,
+        "_thrown_v": _thrown,
+        "_ts_ns_v": _ts_ns,
+        "_lvl_app": extract_level(logs1["level"]),
+    })
+    json_like = F.col("_json_like")
+    is_blank = F.col("_is_blank")
+    corrupt = F.col("_corrupt")
+    is_tool = F.col("_is_tool")
+    is_proxy = F.col("_is_proxy")
+    is_http = F.col("_is_http")
+    is_app = F.col("_is_app")
+    is_container = F.col("_is_container")
+    request_line = F.col("_req_line")
+    thrown_col = F.col("_thrown_v")
+    ts_ns = F.col("_ts_ns_v")
+
+    method = F.regexp_extract(request_line, REQUEST_LINE_RX, 1)
+    path = F.regexp_extract(request_line, REQUEST_LINE_RX, 2)
+    protocol = F.regexp_extract(request_line, REQUEST_LINE_RX, 3)
+
+    # skip rules (extractor.go:152-154, :287-311) — silent drops
+    bad_request_line = request_line.isNotNull() & (
+        (request_line == "-")
+        | (protocol != "HTTP")
+        | ~method.isin(STANDARD_METHODS)
     )
 
     # missing-timestamp validation (extractor.go:440-448, :503-561)
@@ -303,7 +362,7 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .when(missing_ts, F.lit("parse_error"))
         .when(
             is_app
-            & (extract_level(logs1["level"]) == "ERROR")
+            & (F.col("_lvl_app") == "ERROR")
             & thrown_col.isNotNull(),
             F.lit("error"),
         )
@@ -346,13 +405,15 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         is_http, ctx["remoteHost"]
     )
 
-    level = F.when(is_app | (category == "error"), extract_level(logs1["level"])).when(
+    # NB: category == "error" implies is_app (the error branch conjoins
+    # it), so the historical `is_app | (category == "error")` guards
+    # reduce to plain is_app — which also keeps the big category CASE
+    # tree out of these columns' expressions.
+    level = F.when(is_app, F.col("_lvl_app")).when(
         is_container, extract_level(f2["log"])
     )
-    msg = F.when(is_app | (category == "error"), logs1["message"]).when(
-        is_container, f2["log"]
-    )
-    logger_col = F.when(is_app | (category == "error"), logs1["loggerName"]).when(
+    msg = F.when(is_app, logs1["message"]).when(is_container, f2["log"])
+    logger_col = F.when(is_app, logs1["loggerName"]).when(
         is_container, service_from_pod(pod_name)
     )
 
@@ -375,12 +436,9 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         # event whose top-level thread drives the designed request<->app-log
         # correlation (pipeline_design.md:60-64), even though the reference's
         # extracted HTTPRequestLog drops it (extraction.go:67-91).
-        .withColumn(
-            "thread",
-            F.when(is_app | is_http | (category == "error"), logs1["thread"]),
-        )
+        .withColumn("thread", F.when(is_app | is_http, logs1["thread"]))
         .withColumn("msg", msg)
-        .withColumn("thrown", F.when(is_app | (category == "error"), thrown_col))
+        .withColumn("thrown", F.when(is_app, thrown_col))
         .withColumn("local_server_name", F.when(is_proxy, apache["localServerName"]))
         .withColumn("remote_user", F.when(is_proxy, apache["remoteUser"]))
         .withColumn("referer", F.when(is_proxy, apache["referer"]))
@@ -408,6 +466,10 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
                 txt,
             ),
         )
-        .drop("_f1", "_f2", "_tool")
+        .drop(
+            "_f1", "_f2", "_tool", "_json_like", "_is_blank", "_corrupt",
+            "_is_tool", "_is_proxy", "_is_http", "_is_app", "_is_container",
+            "_req_line", "_thrown_v", "_ts_ns_v", "_lvl_app",
+        )
     )
     return parsed

@@ -43,9 +43,31 @@ RAW_INSTANT = T.StructType(
 
 RAW_LOGS_FMT1 = T.StructType(
     [
-        # HTTP contextMap dialect (extraction.go:28-29)
+        # HTTP contextMap dialect (extraction.go:28-29). Typed as a STRUCT
+        # of exactly the keys the kernel consumes, not map<string,string>:
+        # a map parse allocates per-entry and every contains/lookup is a
+        # linear scan — measured 3x slower classifier evaluation on the
+        # 4M-turn corpus. Dynamic-typed values (number-or-string,
+        # extractor.go:314-357) still arrive as token text (Jackson
+        # renders any scalar into a StringType field) and are coerced by
+        # Column casts. Presence semantics: key-present-with-JSON-null
+        # now reads as absent (the Go map presence check would see it) —
+        # no wire producer emits that shape.
         T.StructField("timeMillis", T.LongType(), True),
-        T.StructField("contextMap", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField(
+            "contextMap",
+            T.StructType(
+                [
+                    T.StructField(k, T.StringType(), True)
+                    for k in [
+                        "requestLine", "statusCode", "bytesSent",
+                        "processMillis", "remoteHost", "sourceClassName",
+                        "sourceMethodName",
+                    ]
+                ]
+            ),
+            True,
+        ),
         # log4j2 application dialect (extraction.go:46-51)
         T.StructField("instant", RAW_INSTANT, True),
         T.StructField("level", T.StringType(), True),
@@ -75,6 +97,11 @@ FMT1_SCHEMA = T.StructType(
 # Apache access/proxy dialect lives under lowercase ``logs`` in our payload
 # corpus (FIXTURES.md §2b), flat string fields (extraction.go:32-43; note the
 # literal space in the JSON key "cache status").
+# Schema-on-read is PRUNED to the fields the parse kernel actually consumes:
+# from_json allocates one object per schema field per row, so dead width is
+# pure DRAM traffic in the hottest map stage (wire keys the corpus carries
+# but nothing reads — identdUsername, stream, _p, record_date — are
+# deliberately absent; Jackson skips unknown keys without materializing).
 RAW_LOGS_APACHE = T.StructType(
     [
         T.StructField("requestFirstLine", T.StringType(), True),
@@ -83,7 +110,6 @@ RAW_LOGS_APACHE = T.StructType(
         T.StructField("responseTime", T.StringType(), True),
         T.StructField("bytes", T.StringType(), True),
         T.StructField("localServerName", T.StringType(), True),
-        T.StructField("identdUsername", T.StringType(), True),
         T.StructField("remoteUser", T.StringType(), True),
         T.StructField("time", T.StringType(), True),
         T.StructField("referer", T.StringType(), True),
@@ -93,16 +119,17 @@ RAW_LOGS_APACHE = T.StructType(
 )
 
 # Format 2: container log (extraction.go:14-23) + apache wrapper.
+# _corrupt_record: with the fmt1 pass gated off obviously-fmt2 lines
+# (functions/parse.py), malformed fmt2-like JSON must still surface as
+# "invalid JSON" through THIS parse's corrupt column.
 FMT2_SCHEMA = T.StructType(
     [
         T.StructField("@timestamp", T.StringType(), True),
         T.StructField("time", T.StringType(), True),
-        T.StructField("stream", T.StringType(), True),
         T.StructField("log", T.StringType(), True),
-        T.StructField("_p", T.StringType(), True),
-        T.StructField("record_date", T.StringType(), True),
         T.StructField("logs", RAW_LOGS_APACHE, True),
         T.StructField("kubernetes", RAW_KUBERNETES, True),
+        T.StructField("_corrupt_record", T.StringType(), True),
     ]
 )
 
