@@ -93,6 +93,7 @@ def run_pipeline(
     use_pandas_grok: bool = True,
     single_pass_router: bool = True,
     close_partitions: bool = True,
+    pass2_persist: bool = True,
 ) -> PipelineReport:
     """Run the full pipeline over ``transcripts``; outputs under ``base_path``.
 
@@ -179,12 +180,20 @@ def run_pipeline(
         slim_cols = ["conv_id", "turn_idx", "role", "ts", "category",
                      "tool_name", "tool_status", "tool_latency_ms",
                      "day", "bucket"]
+        # pass2_persist: the 4 pass-2 consumers (3 aggregates + completion
+        # events) share one cached slim scan. A/B on the standalone 4x8
+        # cluster (12M turns, both orders): persist wins summed
+        # aggregates+manifest 4.3-5.6 s vs 6.5-13.2 s — the cache store
+        # pays for itself by the 3rd consumer even on tmpfs storage.
+        # The knob exists because the margin inverts if pass 2 ever has a
+        # single consumer (memory pressure buys nothing then).
         routed = (
             spark.read.option("basePath", f"{base_path}/sinks/routed")
             .parquet(f"{base_path}/sinks/routed/runid={run_id}")
             .select(*slim_cols)
-            .persist()
         )
+        if pass2_persist:
+            routed = routed.persist()
         phases["pass2_read_counts"] = round(time.monotonic() - tp, 2)
         rows_in = sum(by_cat.values())
         if rows_in == 0:
@@ -210,15 +219,14 @@ def run_pipeline(
 
     tp = time.monotonic()
     if write_aggregates:
-        conv_turn_counts(agg_source).write.mode("overwrite").parquet(
-            f"{base_path}/agg/conv_turn_counts"
-        )
-        per_tool_call_rates(agg_source).write.mode("overwrite").parquet(
-            f"{base_path}/agg/tool_rates"
-        )
-        hourly_error_rollup(agg_source).write.mode("overwrite").parquet(
-            f"{base_path}/agg/hourly_errors"
-        )
+        for name, frame in (
+            ("conv_turn_counts", conv_turn_counts(agg_source)),
+            ("tool_rates", per_tool_call_rates(agg_source)),
+            ("hourly_errors", hourly_error_rollup(agg_source)),
+        ):
+            ta = time.monotonic()
+            frame.write.mode("overwrite").parquet(f"{base_path}/agg/{name}")
+            phases[f"agg_{name}"] = round(time.monotonic() - ta, 2)
     phases["aggregates"] = round(time.monotonic() - tp, 2)
 
     tp = time.monotonic()
