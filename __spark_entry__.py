@@ -883,6 +883,37 @@ FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 6
 SQL_SIMHASH = _sql_simhash_text()
 
 
+def q_near_dup_clusters(spark, sf):
+    """Connected components over the simhash near-dup pairs -> canonical
+    (id, cluster_id = min member) for keep-one-per-cluster dedup; the
+    DuckDB oracle recomputes components with a recursive CTE over the
+    identical pair set."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.simhash_dups(
+        docs, max_hamming=6, max_bucket=_SH_BUCKET, portable=True
+    )
+    return dedup.dup_clusters(
+        pairs, all_ids=docs.select("doc_id")
+    ).orderBy("id")
+
+
+def _sql_near_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_SIMHASH}
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_embedding_topk(spark, sf):  # brute-force ANN baseline
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1827,6 +1858,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
     "simhash_dups": (q_simhash_dups, SQL_SIMHASH),
+    "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters()),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),

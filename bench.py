@@ -40,9 +40,11 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_dups",
+    "near_dup_clusters",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
     "embedding_dups_lsh",
+    "ann_recall_at_k",
     "exact_dup_groups",
     "doc_fingerprints",
     "selector_classified_counts",
@@ -82,6 +84,13 @@ def _prod_overrides():
         "simhash_dups": lambda spark, sf: dedup.simhash_dups(
             E._t(spark, sf, "documents"), max_hamming=6,
             max_bucket=E._SH_BUCKET, portable=False,
+        ),
+        "near_dup_clusters": lambda spark, sf: dedup.dup_clusters(
+            dedup.simhash_dups(
+                E._t(spark, sf, "documents"), max_hamming=6,
+                max_bucket=E._SH_BUCKET, portable=False,
+            ),
+            all_ids=E._t(spark, sf, "documents").select("doc_id"),
         ),
     }
 

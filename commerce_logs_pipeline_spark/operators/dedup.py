@@ -165,6 +165,88 @@ def exact_dup_groups(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id), with
+    cluster_id = MIN member id — the canonical survivor for
+    keep-one-per-cluster dedup (the step downstream of every pair
+    generator in this module: pairs say "these two match", clusters say
+    "keep doc X, drop the rest").
+
+    Distributed min-label propagation: each round joins the symmetrized
+    edge list against the current label frame and takes the per-vertex
+    min over self+neighbors — one shuffle join per round, label frame one
+    row per vertex, nothing driver-sized. Converges in O(component
+    diameter) rounds; near-dup components are small cliques/short chains
+    (diameter 2-4), and ``max_iterations`` bounds adversarial chains.
+    Convergence is detected via the label-sum invariant (labels only
+    ever decrease, so an unchanged sum means a fixed point) — one scalar
+    aggregate per round, no row-level comparison join.
+
+    ``all_ids`` (one id column) adds singleton vertices so every document
+    receives a cluster row.
+
+    Lineage: each round's label frame references the previous round twice
+    (neighbor join + self union), so the LOGICAL plan would double per
+    round — 20 rounds of plan growth OOMs the driver before a byte of
+    data moves. Every round therefore cuts lineage with an eager
+    localCheckpoint; dropping the previous round's reference lets
+    Spark's ContextCleaner reclaim its blocks.
+    """
+    edges = _persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
+    # iterate ONLY over vertices that appear in a pair — singletons can
+    # never change label, so carrying them through every round's
+    # union+groupBy would multiply the label frame by corpus/dup-rate
+    # for nothing; they join the result once at the end
+    verts = edges.select(F.col("src").alias("id"))
+    labels = verts.distinct().withColumn("label", F.col("id")).localCheckpoint(
+        eager=True
+    )
+    # decimal sum: overflow-proof convergence invariant at any id scale
+    def label_sum(frame: DataFrame):
+        return frame.select(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "src"), on="src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            nbr.union(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        first = all_ids.columns[0]
+        singles = (
+            all_ids.select(F.col(first).alias("id"))
+            .distinct()
+            .join(labels.select("id"), on="id", how="left_anti")
+            .withColumn("cluster_id", F.col("id"))
+        )
+        out = out.union(singles)
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

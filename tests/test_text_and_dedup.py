@@ -171,6 +171,41 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
         assert r.cos <= emax[r.query_id] + 1e-9
 
 
+def test_dup_clusters_connected_components(spark):
+    """Chain, clique, disjoint pair, and singletons must resolve to
+    min-member cluster ids; chain tests multi-round propagation."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long"
+    )
+    with dedup.released_after():
+        got = {
+            r.id: r.cluster_id
+            for r in dedup.dup_clusters(pairs, all_ids=ids).collect()
+        }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 99: 99}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 30-node chain needs ~log-diameter label rounds under min
+    propagation; the operator must still converge inside its bound (the
+    fixpoint check, not the iteration cap, should stop it)."""
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with dedup.released_after():
+        got = dedup.dup_clusters(pairs, max_iterations=n + 2).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == n + 1
+
+
 def test_lsh_multiprobe_lifts_recall(spark):
     """Multiprobe (flip weakest plane bits) must never lower recall and
     must strictly lift it on a corpus where single-bucket probing misses
