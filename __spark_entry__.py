@@ -1019,6 +1019,56 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_embedding_topk_ivf(spark, sf):
+    """IVF(flat) ANN: deterministic sampled-centroid quantizer (16 cells,
+    nprobe=2) — the data-adaptive scale path next to hyperplane LSH."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=2)
+
+
+def _sql_emb_topk_ivf() -> str:
+    # same quantizer derivation: centroids = 16 lowest vec_ids, cell =
+    # rank order; sq-dist via the identical (a.a - 2 a.b) + b.b identity
+    # rounded to 6 dp, argmin tie-broken on cell — bit-for-bit the Spark
+    # plan's assignment
+    return """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+    FROM e ORDER BY vec_id LIMIT 16
+), dists AS (
+    SELECT e.vec_id, e.v, cent.cell,
+           round((list_dot_product(e.v, e.v)
+                  - 2.0 * list_dot_product(e.v, cent.cv))
+                 + list_dot_product(cent.cv, cent.cv), 6) AS d
+    FROM e, cent
+), assign AS (
+    SELECT vec_id, v, cell FROM dists
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d, cell) = 1
+), probes AS (
+    SELECT vec_id AS query_id, v AS qv, cell FROM dists
+    WHERE vec_id < 20
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d, cell) <= 2
+), s AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(a.v, p.qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos
+    FROM assign a JOIN probes p USING (cell)
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos FROM s
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5
+"""
+
+
 def q_ann_recall_at_k(spark, sf):
     """Measured ANN approximation quality (VERDICT r3 #4): per-query
     recall@5 of multiprobe LSH top-k (probes=1 — each query also probes
@@ -1863,6 +1913,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),
     "ann_recall_at_k": (q_ann_recall_at_k, _sql_ann_recall()),
+    "embedding_topk_ivf": (q_embedding_topk_ivf, _sql_emb_topk_ivf()),
     "expr_predicate_filter": (q_expr_predicate, SQL_EXPR_PREDICATE),
     "trace_assembly": (q_trace_assembly, _sql_trace_assembly()),
     "profile_json_fields": (q_profile_fields, _sql_profile_fields()),

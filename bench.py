@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
+    "embedding_topk_ivf",
     "embedding_dups_lsh",
     "ann_recall_at_k",
     "exact_dup_groups",

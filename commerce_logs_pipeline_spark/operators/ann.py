@@ -10,6 +10,9 @@
   query also probes the buckets reached by flipping its weakest
   (smallest-margin) plane bits, lifting recall toward exact at
   (probes+1)x candidate cost with the same plan shape.
+- ivf_topk: IVF(flat) — a coarse quantizer assigns corpus vectors to
+  centroid cells (inverted lists); queries score only their nprobe
+  nearest cells. Data-adaptive where hyperplanes are oblivious.
 - recall_at_k: measured approximation quality — per-query overlap of an
   approximate top-k with the exact one.
 
@@ -143,6 +146,89 @@ def lsh_topk(
     if probes > 0:
         # a neighbor reachable through several probe buckets scores once
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4)
+    ).select("query_id", "neighbor_id", "cos")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    return topk_per_group(
+        scored, ["query_id"], "cos", k, ascending=False, tiebreak="neighbor_id"
+    )
+
+
+def sq_dist(a, b):
+    """Squared L2 via the dot-product identity |a-b|^2 =
+    (a.a - 2 a.b) + b.b — written EXACTLY this way (left-assoc) so an
+    external SQL oracle using the same identity over the same doubles
+    reproduces it bit-for-bit."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF(flat) approximate top-k: a coarse quantizer assigns every
+    corpus vector to its nearest centroid CELL (the inverted lists);
+    each query scores only the vectors in its ``nprobe`` nearest cells.
+    The other scale path next to hyperplane LSH (lsh_topk): cells adapt
+    to the data distribution where hyperplanes are oblivious, at the
+    cost of a quantizer.
+
+    ``centroids`` defaults to the corpus vectors with the n_cells
+    smallest ids — a deterministic data-sampled quantizer with no Lloyd
+    refinement (at real scale the quantizer is trained offline once and
+    passed in; the plan shape is identical). Centroids are embedded as
+    plan LITERALS, so assignment is pure Column work — no join against a
+    centroid table, no shuffle on the corpus side beyond the cell
+    equi-join. Distances round to 6 dp before ranking (same
+    cross-engine argmin discipline as query_probe_buckets).
+    """
+    if centroids is None:
+        rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+            .collect()
+        )
+        centroids = [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+    def ranked_cells(vec):
+        return F.array_sort(
+            F.array(*[
+                F.struct(
+                    F.round(
+                        sq_dist(vec, F.array(*[F.lit(x) for x in cvec])), 6
+                    ).alias("d"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cvec in centroids
+            ])
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .withColumn("_rc", ranked_cells(F.col("_cv")))
+        .withColumn("cell", F.col("_rc")[0]["cell"])
+        .drop("_rc")
+    )
+    q = (
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .withColumn("_rc", F.slice(ranked_cells(F.col("_qv")), 1, nprobe))
+        .withColumn("cell", F.explode(F.transform("_rc", lambda s: s["cell"])))
+        .drop("_rc")
+    )
+    cand = c.join(F.broadcast(q), on="cell")
     scored = cand.withColumn(
         "cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4)
     ).select("query_id", "neighbor_id", "cos")

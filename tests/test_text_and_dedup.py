@@ -233,6 +233,31 @@ def test_lsh_multiprobe_lifts_recall(spark):
     assert r2 <= 1.0
 
 
+def test_ivf_topk_valid_and_probe_monotone(spark):
+    """IVF results are valid scored pairs (cos <= exact best per query)
+    and recall is monotone in nprobe; nprobe = n_cells reaches exact
+    recall (every cell probed = brute force)."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.13), math.sin(i * 0.13),
+             0.2 * math.cos(i * 0.9), 0.2 * math.sin(i * 0.9)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 8")
+    exact = ann.brute_force_topk(df, q, k=4)
+
+    def avg_recall(nprobe: int) -> float:
+        approx = ann.ivf_topk(df, q, k=4, n_cells=8, nprobe=nprobe)
+        rec = ann.recall_at_k(approx, exact).collect()
+        return sum(r.recall for r in rec) / len(rec)
+
+    r1, r3, r_all = avg_recall(1), avg_recall(3), avg_recall(8)
+    assert r1 <= r3 <= r_all
+    assert r_all == 1.0  # all cells probed == exhaustive search
+
+
 def test_hamming64_column(spark):
     df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
