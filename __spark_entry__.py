@@ -701,6 +701,78 @@ FROM documents
 """
 
 
+def q_pii_scan(spark, sf):
+    """PII scan + redaction over a corpus CONSTRUCTED identically in both
+    engines (the documents tables carry no PII-shaped text, so the
+    fixture is the deterministic concat below — same transcript-oracle
+    discipline: operate in Spark, re-derive in SQL). Checks pattern
+    counts AND the md5 of the fully redacted text."""
+    i = F.col("id")
+
+    def s(c):
+        return c.cast("string")
+
+    text = F.concat(
+        F.lit("doc "), s(i),
+        F.lit(" contact user"), s(i), F.lit("@example.com "),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("ip 10.0."), s(i % 200), F.lit("."), s(i % 7)),
+        ).otherwise(F.lit("noip")),
+        F.lit(" "),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit("call +1 555 0"), s(F.lit(100) + (i % 900))),
+        ).otherwise(F.lit("nophone")),
+    )
+    df = spark.range(2000).withColumn("text", text)
+    return df.select(
+        "id",
+        TX.pii_counts(F.col("text"))["n_email"].alias("n_email"),
+        TX.pii_counts(F.col("text"))["n_ip"].alias("n_ip"),
+        TX.pii_counts(F.col("text"))["n_phone"].alias("n_phone"),
+        F.md5(TX.redact_pii(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("id")
+
+
+def _sql_pii_scan() -> str:
+    from commerce_logs_pipeline_spark.functions.text import (
+        EMAIL_RX, IPV4_RX, PHONE_RX,
+    )
+
+    # string-concat template (not f-string: the regexes carry {2,})
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '"
+        + EMAIL_RX + "', '<EMAIL>', 'g'), '"
+        + IPV4_RX + "', '<IP>', 'g'), '"
+        + PHONE_RX + "', '<PHONE>', 'g')"
+    )
+    return (
+        """
+WITH t AS (
+    SELECT i AS id,
+           'doc ' || i || ' contact user' || i || '@example.com ' ||
+           CASE WHEN i % 3 = 0
+                THEN 'ip 10.0.' || (i % 200) || '.' || (i % 7)
+                ELSE 'noip' END || ' ' ||
+           CASE WHEN i % 5 = 0
+                THEN 'call +1 555 0' || (100 + i % 900)
+                ELSE 'nophone' END AS text
+    FROM generate_series(0, 1999) s(i)
+)
+SELECT id,
+       CAST(len(regexp_extract_all(text, '""" + EMAIL_RX + """')) AS INT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '""" + IPV4_RX + """')) AS INT)
+           AS n_ip,
+       CAST(len(regexp_extract_all(text, '""" + PHONE_RX + """')) AS INT)
+           AS n_phone,
+       md5(""" + red + """) AS redacted_md5
+FROM t ORDER BY id
+"""
+    )
+
+
 def q_exact_dup_groups(spark, sf):
     return dedup.exact_dup_groups(_t(spark, sf, "documents"))
 
@@ -1909,6 +1981,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
     "simhash_dups": (q_simhash_dups, SQL_SIMHASH),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters()),
+    "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),

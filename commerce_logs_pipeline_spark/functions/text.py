@@ -181,3 +181,34 @@ def shingles(col: Column, k: int = 3) -> Column:
     paths prefer ``withColumn("_toks", tokens(lower(col)))`` followed by
     ``shingles_from_tokens(F.col("_toks"), k)`` (see that docstring)."""
     return shingles_from_tokens(tokens(F.lower(col)), k)
+
+
+# --- PII scan / redaction (training-data scrubbing surface) ----------------
+# Patterns are deliberately portable across regex engines (Java regex in
+# Spark, RE2 in DuckDB/Go): no backreferences, no lookaround, greedy
+# quantifiers whose match set is identical under backtracking and NFA
+# simulation. Keep them in sync with any external oracle verbatim.
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RX = r"\+\d[\d ]{6,16}\d"  # up to ~15 digits + separators (E.164)
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_email, n_ip, n_phone) — per-document PII pattern counts,
+    the scan half of a scrubbing pass (decide/sample/route on counts
+    before paying for rewrites)."""
+    return F.struct(
+        F.regexp_count(col, F.lit(EMAIL_RX)).alias("n_email"),
+        F.regexp_count(col, F.lit(IPV4_RX)).alias("n_ip"),
+        F.regexp_count(col, F.lit(PHONE_RX)).alias("n_phone"),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email/IPv4/phone match with a typed placeholder.
+    Order matters and is part of the contract (email first — addresses
+    can embed digit runs; then IP; then phone) — external oracles must
+    apply the same patterns in the same order."""
+    out = F.regexp_replace(col, EMAIL_RX, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RX, "<IP>")
+    return F.regexp_replace(out, PHONE_RX, "<PHONE>")

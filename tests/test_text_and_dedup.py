@@ -171,6 +171,33 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
         assert r.cos <= emax[r.query_id] + 1e-9
 
 
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "reach me at a.b+c@corp.io or admin@x.co thanks"),
+        (1, "server 192.168.1.250 and 10.0.0.1 rebooted"),
+        (2, "call +1 555 0199 now"),
+        (3, "clean text, no pii at all"),
+        (4, "mix bob@x.io at 10.1.2.3 call +44 20 7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            TX.pii_counts(F.col("text")).alias("p"),
+            TX.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[0].p.n_email, got[0].p.n_ip, got[0].p.n_phone) == (2, 0, 0)
+    assert (got[1].p.n_email, got[1].p.n_ip, got[1].p.n_phone) == (0, 2, 0)
+    assert got[2].p.n_phone == 1
+    assert (got[3].p.n_email, got[3].p.n_ip, got[3].p.n_phone) == (0, 0, 0)
+    assert got[0].red == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert got[1].red == "server <IP> and <IP> rebooted"
+    assert got[2].red == "call <PHONE> now"
+    assert got[4].red == "mix <EMAIL> at <IP> call <PHONE>"
+
+
 def test_dup_clusters_connected_components(spark):
     """Chain, clique, disjoint pair, and singletons must resolve to
     min-member cluster ids; chain tests multi-round propagation."""
