@@ -185,24 +185,21 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     # try-fmt1-else-fmt2). Kept as SEPARATE from_json calls so "Logs" (fmt1)
     # and "logs" (apache) never share a struct — field access by name would
     # be AMBIGUOUS_REFERENCE_TO_FIELDS under default spark.sql.caseSensitive
-    # =false. Gating (the parse kernel is the DRAM-bound hot stage, so each
-    # pass runs on the narrowest provable row set):
-    # - both passes skip non-JSON turns entirely (json_like);
-    # - fmt2 runs only on rows carrying an fmt2 key needle (fmt2_prefilter);
-    # - fmt1 SKIPS rows that are fmt2-needled UNLESS they carry the fmt1
-    #   '"Logs"' key text — every genuine fmt1 line contains it by
-    #   construction, so fmt1 lines can never lose their parse, while pure
-    #   fmt2 rows (~half the JSON corpus) stop paying a second from_json.
-    #   Malformed fmt2-like JSON keeps its "invalid JSON" dead-letter via
-    #   the fmt2 pass's own corrupt column.
-    is_fmt2_needled = fmt2_prefilter(txt)
+    # =false. Both parses are gated on the json_like prefilter so non-JSON
+    # turns (tool calls, conversational text) skip the JSON kernel entirely.
+    # A narrower fmt1 gate (skip fmt2-needled rows without '"Logs"') was
+    # tried and REVERTED: it measured zero parse-stage gain — from_json is
+    # not the stage bottleneck — while its 6 extra references to the raw
+    # text column made pushed-down predicates over non-file-backed inputs
+    # (synth-expression frames) blow up combinatorially at alias
+    # substitution, OOMing GeneratePredicate's source builder.
     fmt1 = F.when(
-        json_like & (txt.contains('"Logs"') | ~is_fmt2_needled),
+        json_like,
         F.from_json(
             txt, FMT1_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt_record"}
         ),
     )
-    fmt2_like = json_like & is_fmt2_needled
+    fmt2_like = json_like & fmt2_prefilter(txt)
     fmt2 = F.when(
         fmt2_like,
         F.from_json(
@@ -281,10 +278,9 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     # re-marshals the object form). The struct schema types it string, so
     # the object form parses to null there; fall back to the raw JSON text
     # via get_json_object (returns the serialized object — the re-marshal
-    # analog). Gated to app rows so only they can pay the second parse.
-    _thrown = F.when(
-        _is_app,
-        F.coalesce(logs1["thrown"], F.get_json_object(txt, "$.Logs.thrown")),
+    # analog). Evaluated lazily inside app/error CASE branches only.
+    _thrown = F.coalesce(
+        logs1["thrown"], F.get_json_object(txt, "$.Logs.thrown")
     )
 
     # --- timestamps (ns canonical, extraction.go:68-69) -------------------
@@ -303,40 +299,28 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .when(_is_proxy | _is_container, ts_fmt2_ns)
     )
 
-    # MATERIALIZE the shared classifier/extract intermediates as real
-    # columns in ONE project layer. Every one of them is referenced by
-    # several downstream output columns; left as Python expression trees
-    # they would be COPIED into each consumer, and copies sitting inside
-    # different CASE WHEN branches defeat codegen subexpression
-    # elimination (conditional CSE only unifies subtrees common to ALL
-    # branches). As non-cheap multi-referenced aliases, CollapseProject
-    # keeps this layer instead of re-inlining — measured 11.8 s -> ~7 s
-    # on the 4M-turn parse stage at local[32].
-    df = df.withColumns({
-        "_json_like": json_like,
-        "_is_blank": is_blank,
-        "_corrupt": _corrupt,
-        "_is_tool": _is_tool,
-        "_is_proxy": _is_proxy,
-        "_is_http": _is_http,
-        "_is_app": _is_app,
-        "_is_container": _is_container,
-        "_req_line": _request_line,
-        "_thrown_v": _thrown,
-        "_ts_ns_v": _ts_ns,
-        "_lvl_app": extract_level(logs1["level"]),
-    })
-    json_like = F.col("_json_like")
-    is_blank = F.col("_is_blank")
-    corrupt = F.col("_corrupt")
-    is_tool = F.col("_is_tool")
-    is_proxy = F.col("_is_proxy")
-    is_http = F.col("_is_http")
-    is_app = F.col("_is_app")
-    is_container = F.col("_is_container")
-    request_line = F.col("_req_line")
-    thrown_col = F.col("_thrown_v")
-    ts_ns = F.col("_ts_ns_v")
+    # NOTE — deliberately NOT materialized as intermediate columns: an
+    # extra alias layer was tried (withColumns of every classifier) and
+    # measured ZERO parse-stage gain (codegen subexpression elimination
+    # already dedups the repeated subtrees within the single collapsed
+    # project), while adding one more substitution level for predicate
+    # pushdown: a downstream filter on e.g. ``category`` gets every alias
+    # inlined TRANSITIVELY when pushed through the projections, and the
+    # extra level made that composed predicate large enough to OOM
+    # GeneratePredicate's source-string builder on non-file-backed inputs
+    # (synth-expression frames in tests). Shared subtrees therefore stay
+    # plain Python expression variables — one project level, the shape
+    # that has shipped green since round 1.
+    corrupt = _corrupt
+    is_tool = _is_tool
+    is_proxy = _is_proxy
+    is_http = _is_http
+    is_app = _is_app
+    is_container = _is_container
+    request_line = _request_line
+    thrown_col = _thrown
+    ts_ns = _ts_ns
+    lvl_app = extract_level(logs1["level"])
 
     method = F.regexp_extract(request_line, REQUEST_LINE_RX, 1)
     path = F.regexp_extract(request_line, REQUEST_LINE_RX, 2)
@@ -362,7 +346,7 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
         .when(missing_ts, F.lit("parse_error"))
         .when(
             is_app
-            & (F.col("_lvl_app") == "ERROR")
+            & (lvl_app == "ERROR")
             & thrown_col.isNotNull(),
             F.lit("error"),
         )
@@ -409,7 +393,7 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
     # it), so the historical `is_app | (category == "error")` guards
     # reduce to plain is_app — which also keeps the big category CASE
     # tree out of these columns' expressions.
-    level = F.when(is_app, F.col("_lvl_app")).when(
+    level = F.when(is_app, lvl_app).when(
         is_container, extract_level(f2["log"])
     )
     msg = F.when(is_app, logs1["message"]).when(is_container, f2["log"])
@@ -466,10 +450,6 @@ def parse_transcripts(df: DataFrame, use_pandas_grok: bool = True) -> DataFrame:
                 txt,
             ),
         )
-        .drop(
-            "_f1", "_f2", "_tool", "_json_like", "_is_blank", "_corrupt",
-            "_is_tool", "_is_proxy", "_is_http", "_is_app", "_is_container",
-            "_req_line", "_thrown_v", "_ts_ns_v", "_lvl_app",
-        )
+        .drop("_f1", "_f2", "_tool")
     )
     return parsed

@@ -234,24 +234,37 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
     return routed.filter(key.isin(triples))
 
 
-def vacuum_uncommitted(spark, pipeline_base: str) -> list[str]:
+def vacuum_uncommitted(
+    spark, pipeline_base: str, min_age_seconds: int = 3600
+) -> list[str]:
     """Delete run dirs never referenced by any manifest commit — the
     expire-orphan-snapshots maintenance op (Iceberg expire_snapshots
     analog). All listing/deletion goes through the Hadoop FileSystem API,
     so it runs against any store the cluster can reach (S3/HDFS/ABFS),
-    not just the local filesystem. Returns removed paths."""
+    not just the local filesystem.
+
+    ``min_age_seconds`` (default 1 h) protects IN-FLIGHT writes: a run
+    dir with no manifest commit is indistinguishable from a job that is
+    mid-write and has simply not reached its commit point yet, so only
+    subtrees whose newest file mtime is older than the threshold are
+    reclaimed (same rationale as Iceberg's
+    remove_orphan_files(older_than)). Pass 0 only when no writer can be
+    live (tests, single-writer cron gaps). Returns removed paths."""
+    import time
+
     from ..plans.checkpoint import ManifestStore
-    from ..util import fs_delete, fs_glob
+    from ..util import fs_delete, fs_glob, fs_newest_mtime_ms
 
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     committed = {
         r["run_id"] for r in manifest.committed_runs(spark).collect()
     }
+    cutoff_ms = (time.time() - min_age_seconds) * 1000
     removed = []
     root = f"{pipeline_base}/sinks/routed"
     for d in fs_glob(spark, f"{root}/runid=*"):
         rid = d.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[1]
-        if rid not in committed:
+        if rid not in committed and fs_newest_mtime_ms(spark, d) <= cutoff_ms:
             fs_delete(spark, d)
             removed.append(d)
     return removed

@@ -52,6 +52,21 @@ def fs_delete(spark, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def fs_newest_mtime_ms(spark, path: str) -> int:
+    """Newest modification time (epoch ms) of ``path`` or any file under
+    it, via the Hadoop FS recursive listing; 0 if the path is absent.
+    Used by age-gated maintenance: a subtree still being written has a
+    recent mtime."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    newest = fs.getFileStatus(jpath).getModificationTime()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        newest = max(newest, it.next().getModificationTime())
+    return int(newest)
+
+
 _STAT_LIMIT = 512  # driver-side FS stats are ~ms each; sample beyond this
 
 

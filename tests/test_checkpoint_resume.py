@@ -107,8 +107,10 @@ def test_crash_rerun_is_idempotent(spark, tmp_path):
     assert auth.count() == 3_000
     assert auth.select("conv_id", "turn_idx").distinct().count() == 3_000
 
-    # vacuum removes exactly the orphaned crashed run dir
-    removed = vacuum_uncommitted(spark, base)
+    # with the default in-flight guard the fresh orphan is PROTECTED (it
+    # could be a concurrent writer mid-run); with age 0 it is reclaimed
+    assert vacuum_uncommitted(spark, base) == []
+    removed = vacuum_uncommitted(spark, base, min_age_seconds=0)
     assert len(removed) == 1 and "runid=run0" in removed[0]
     assert read_routed(spark, base).count() == 3_000
 
