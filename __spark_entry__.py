@@ -986,6 +986,85 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_corpus_curation(spark, sf):
+    """Flagship training-data curation composite — the ops composing:
+    quality gate (token count) -> exact dedup (keep min id per content
+    hash) -> simhash near-dup pairs -> connected components -> keep one
+    canonical doc per cluster -> corpus stats. One row out; the DuckDB
+    oracle re-derives every stage including the recursive components."""
+    docs = _t(spark, sf, "documents")
+    filtered = docs.filter(TX.token_count(F.col("text")) >= 10).select(
+        "doc_id", "text"
+    )
+    hashed = filtered.withColumn("_h", TX.content_md5(F.col("text")))
+    kept0 = (
+        hashed.join(
+            hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
+            on=["_h", "doc_id"],
+        )
+        .select("doc_id", "text")
+    )
+    pairs = dedup.simhash_dups(
+        kept0, max_hamming=6, max_bucket=_SH_BUCKET, portable=True
+    )
+    clusters = dedup.dup_clusters(pairs, all_ids=kept0.select("doc_id"))
+    kept = (
+        clusters.filter(F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+        .join(kept0, on="doc_id")
+    )
+    return (
+        docs.agg(F.count("*").alias("n_total"))
+        .crossJoin(filtered.agg(F.count("*").alias("n_quality")))
+        .crossJoin(kept0.agg(F.count("*").alias("n_after_exact")))
+        .crossJoin(
+            kept.agg(
+                F.count("*").alias("n_kept"),
+                F.sum(TX.token_count(F.col("text")).cast("long")).alias(
+                    "total_tokens"
+                ),
+            )
+        )
+    )
+
+
+def _sql_corpus_curation() -> str:
+    sim = SQL_SIMHASH.replace("FROM documents WHERE", "FROM kept0 WHERE")
+    return f"""
+WITH RECURSIVE filtered AS (
+    SELECT doc_id, text FROM documents WHERE len({_SQL_TOKS}) >= 10
+), kept0 AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM filtered)
+    WHERE rn = 1
+), pairs AS ({sim}
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT doc_id, doc_id FROM kept0
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+), comp AS (
+    SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id
+), kept AS (
+    SELECT k.doc_id, k.text
+    FROM kept0 k JOIN comp ON comp.id = k.doc_id
+                          AND comp.cluster_id = k.doc_id
+)
+SELECT (SELECT count(*) FROM documents) AS n_total,
+       (SELECT count(*) FROM filtered) AS n_quality,
+       (SELECT count(*) FROM kept0) AS n_after_exact,
+       count(*) AS n_kept,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+FROM kept
+"""
+
+
 def q_embedding_topk(spark, sf):  # brute-force ANN baseline
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1982,6 +2061,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_dups": (q_simhash_dups, SQL_SIMHASH),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters()),
     "pii_scan": (q_pii_scan, _sql_pii_scan()),
+    "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),

@@ -71,7 +71,13 @@ def _prod_overrides():
     same sub-quadratic plans — only the hash family differs (statistically
     equivalent candidate generation)."""
     import __spark_entry__ as E
-    from commerce_logs_pipeline_spark.operators import dedup
+    from pyspark.sql import functions as F
+    from commerce_logs_pipeline_spark.operators import ann, dedup
+
+    def _emb(spark, sf):
+        return E._t(spark, sf, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
 
     return {
         "ngram_jaccard_pairs": lambda spark, sf: dedup.ngram_jaccard_pairs(
@@ -85,6 +91,10 @@ def _prod_overrides():
         "simhash_dups": lambda spark, sf: dedup.simhash_dups(
             E._t(spark, sf, "documents"), max_hamming=6,
             max_bucket=E._SH_BUCKET, portable=False,
+        ),
+        "embedding_topk_ivf": lambda spark, sf: ann.ivf_topk(
+            _emb(spark, sf), _emb(spark, sf).filter("vec_id < 20"),
+            k=5, n_cells=16, nprobe=2, use_numpy=True,
         ),
         "near_dup_clusters": lambda spark, sf: dedup.dup_clusters(
             dedup.simhash_dups(
@@ -126,6 +136,13 @@ def main() -> int:
     qs = E.queries()
     qs.update(_prod_overrides())
     timings: dict[str, float] = {}
+    # untimed JVM/codegen warm-up: one trivial scan-agg-write so the first
+    # MEASURED query doesn't carry whole-stage-codegen compiler start-up
+    # (~4-5 s, previously booked against pricing_summary)
+    _force(
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy("r_name").count()
+    )
     t_total0 = time.monotonic()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()

