@@ -184,6 +184,25 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def streaming_dedup_turns(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """At-least-once wire -> effectively-once rows: drop duplicate turns
+    by idempotent key within the watermark horizon. The streaming half of
+    the reference's at-least-once + idempotent-keys contract
+    (docs/trace-model.md:50-57; worker.go:416-509 redelivery): redelivered
+    records inside the lateness window dedup in state, and the watermark
+    BOUNDS that state (keys older than the horizon are evicted — without
+    it the dedup state grows with the whole stream's key cardinality,
+    the classic unbounded-state failure at 100 TB/day)."""
+    keys = keys or ["conv_id", "turn_idx"]
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def streaming_hourly_counts(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window counts (T3 late-data handling)."""
     return (

@@ -130,3 +130,47 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_ivf_and_lsh_probe_joins_broadcast_no_cartesian(spark):
+    """The ANN scale paths must never plan a cartesian product: the cell/
+    bucket candidate joins broadcast the (tiny, exploded) query side."""
+    import math
+
+    from commerce_logs_pipeline_spark.operators import ann
+
+    rows = [
+        (i, [math.cos(i * 0.19), math.sin(i * 0.19), 0.1 * i % 1.0, 0.05])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    for frame in (
+        ann.lsh_topk(df, q, k=3, n_planes=4, dim=4, probes=2),
+        ann.ivf_topk(df, q, k=3, n_cells=4, nprobe=2),
+        ann.ivf_topk(df, q, k=3, n_cells=4, nprobe=2, use_numpy=True),
+    ):
+        plan = _plan(frame)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_dup_clusters_rounds_are_join_aggregate_only(spark):
+    """Each CC round must be an equi-join + hash aggregate over the
+    checkpointed label frame — no cartesian, no nested-loop, and the
+    returned frame's plan is lineage-cut (no per-round plan growth)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    from commerce_logs_pipeline_spark.operators import dedup
+
+    with dedup.released_after():
+        out = dedup.dup_clusters(pairs)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # lineage-cut: the final plan reads the checkpointed RDD, not a
+        # 2^rounds-deep join tree
+        assert plan.count("Scan ExistingRDD") >= 1
+        assert len(plan.splitlines()) < 40

@@ -200,6 +200,35 @@ def test_kafka_wire_decode_and_source_seam(spark):
         build_stream_source(spark, "pulsar")
 
 
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """A redelivered (at-least-once) input file must not duplicate rows
+    downstream of streaming_dedup_turns; state is watermark-bounded."""
+    from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+        streaming_dedup_turns,
+    )
+
+    src = str(tmp_path / "in")
+    base = generate_transcripts(spark, 1_000, partitions=2)
+    base.write.mode("overwrite").parquet(src)
+    # simulate redelivery: the same rows land AGAIN as new files
+    base.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 2_000
+
+    out = streaming_dedup_turns(stream_transcripts(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_turns")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM dedup_turns")
+    assert got.count() == 1_000
+    assert got.select("conv_id", "turn_idx").distinct().count() == 1_000
+
+
 def test_kafka_wire_round_trip(spark):
     """encode -> decode over the wire columns is lossless for every
     transcript field (including null text/tool and sub-second
