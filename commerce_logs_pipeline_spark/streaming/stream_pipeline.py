@@ -102,6 +102,34 @@ def decode_kafka_transcripts(raw: DataFrame) -> DataFrame:
     return raw.select(t.alias("t")).select("t.*")
 
 
+def write_stream_kafka(
+    transcripts: DataFrame,
+    kafka_bootstrap: str,
+    topic: str,
+    checkpoint_path: str,
+):
+    """Producer half of the Kafka seam: encode to wire columns
+    (conv_id-keyed for per-conversation partition ordering — the
+    reference's keyed topic production) and writeStream to the topic.
+    Connector-gated exactly like the source; the encode itself is
+    round-trip-verified broker-free (test_kafka_wire_round_trip)."""
+    spark = transcripts.sparkSession
+    if not kafka_connector_available(spark):
+        raise ImportError(
+            "Kafka sink needs the spark-sql-kafka connector jar on the "
+            "classpath (vendor it via --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        )
+    return (
+        encode_kafka_transcripts(transcripts)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", kafka_bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def build_stream_source(
     spark: SparkSession,
     source: str = "files",

@@ -88,3 +88,54 @@ def test_blob_event_key_roundtrip_property(spark, parts, k8s_prefix):
         assert (r.p.subscription, r.p.environment, r.p.event_type,
                 r.p.blob_name) == (r.sub, r.env, r.et, r.want)
         assert r.p.is_log_line == r.et.startswith("line-")
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0, max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_dup_clusters_matches_union_find_property(spark, edges):
+    """For ANY random pair set (self-loops, duplicates, chains, dense
+    blobs) the distributed connected components must equal a driver-side
+    union-find's min-member labeling."""
+    from commerce_logs_pipeline_spark.operators import dedup
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # reference: classic union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    expected = {
+        v: min(members) for members in comp.values() for v in members
+    }
+    # singleton vertices only appear via all_ids
+    ids = sorted({v for e in edges for v in e} | {99})
+    expected[99] = expected.get(99, 99)
+
+    if not edges:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    with dedup.released_after():
+        got = {
+            r.id: r.cluster_id
+            for r in dedup.dup_clusters(pairs, all_ids=all_ids).collect()
+        }
+    assert got == expected

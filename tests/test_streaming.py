@@ -199,6 +199,20 @@ def test_kafka_wire_decode_and_source_seam(spark):
     with pytest.raises(ValueError, match="unknown stream source"):
         build_stream_source(spark, "pulsar")
 
+    # sink half is gated identically (no broker/jar in this sandbox)
+    from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+        write_stream_kafka,
+    )
+
+    if not kafka_connector_available(spark):
+        with pytest.raises(ImportError, match="spark-sql-kafka"):
+            write_stream_kafka(
+                spark.createDataFrame([], "conv_id string, turn_idx int, "
+                                      "role string, text string, "
+                                      "tool string, ts timestamp"),
+                "b:9092", "turns", "/tmp/ck",
+            )
+
 
 def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     """A redelivered (at-least-once) input file must not duplicate rows
