@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("profile", help="JSON field-frequency profiler (P-M)")
     p.add_argument("--sample", type=int, default=1000)
     p.add_argument("--column", default="text")
+
+    pi = sub.add_parser("pii", help="PII pattern scan / redaction preview")
+    pi.add_argument("--column", default="text")
+    pi.add_argument("--redact", action="store_true",
+                    help="show redacted rows that matched, not the summary")
     return ap
 
 
@@ -112,6 +117,33 @@ def run(args, spark) -> int:
             df.select(F.col(args.column).alias("text")),
             sample_rows=args.sample,
         )
+        _emit(out, args.limit, args.json)
+    elif args.cmd == "pii":
+        from commerce_logs_pipeline_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+
+        col = F.col(args.column)
+        src = df.filter(col.isNotNull())
+        p = pii_counts(col)
+        if args.redact:
+            out = src.filter(
+                (p["n_email"] + p["n_ip"] + p["n_phone"]) > 0
+            ).select(
+                "conv_id", "turn_idx", "category",
+                redact_pii(col).alias("redacted"),
+            )
+        else:
+            out = src.agg(
+                F.count("*").alias("rows_scanned"),
+                F.sum(p["n_email"]).alias("emails"),
+                F.sum(p["n_ip"]).alias("ips"),
+                F.sum(p["n_phone"]).alias("phones"),
+                F.sum(
+                    ((p["n_email"] + p["n_ip"] + p["n_phone"]) > 0).cast("int")
+                ).alias("rows_with_pii"),
+            )
         _emit(out, args.limit, args.json)
     return 0
 

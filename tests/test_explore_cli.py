@@ -26,6 +26,8 @@ def test_explore_subcommands(spark, tmp_path, capsys):
         ["--base", base, "--json", "top", "--by", "category", "-n", "3"],
         ["--base", base, "--json", "stats"],
         ["--base", base, "--json", "profile", "--sample", "200"],
+        ["--base", base, "--json", "pii"],
+        ["--base", base, "--json", "pii", "--redact"],
     ):
         assert explore.main(argv, spark=spark) == 0
         out = capsys.readouterr().out.strip().splitlines()
