@@ -198,11 +198,23 @@ def dup_clusters(
     localCheckpoint; dropping the previous round's reference lets
     Spark's ContextCleaner reclaim its blocks.
     """
+    # symmetrize via explode, NOT a self-union: a union references the
+    # ``pairs`` plan twice, and plan-tree references re-execute — the
+    # whole upstream pair generator (LSH banding, simhash blocks) would
+    # run twice just to flip edge direction
     edges = _persist(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
     )
     # iterate ONLY over vertices that appear in a pair — singletons can
     # never change label, so carrying them through every round's
