@@ -1177,7 +1177,11 @@ def q_embedding_topk_ivf(spark, sf):
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 20)
-    return ann.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=2)
+    # use_numpy=False: the Column-literal twin is the one the DuckDB
+    # oracle reproduces bit-for-bit (production default is the numpy path)
+    return ann.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=2, use_numpy=False
+    )
 
 
 def _sql_emb_topk_ivf() -> str:

@@ -178,7 +178,7 @@ def ivf_topk(
     nprobe: int = 2,
     exclude_self: bool = True,
     centroids: list[tuple[int, list[float]]] | None = None,
-    use_numpy: bool = False,
+    use_numpy: bool = True,
 ) -> DataFrame:
     """IVF(flat) approximate top-k: a coarse quantizer assigns every
     corpus vector to its nearest centroid CELL (the inverted lists);
@@ -190,11 +190,18 @@ def ivf_topk(
     ``centroids`` defaults to the corpus vectors with the n_cells
     smallest ids — a deterministic data-sampled quantizer with no Lloyd
     refinement (at real scale the quantizer is trained offline once and
-    passed in; the plan shape is identical). Centroids are embedded as
-    plan LITERALS, so assignment is pure Column work — no join against a
-    centroid table, no shuffle on the corpus side beyond the cell
-    equi-join. Distances round to 6 dp before ranking (same
-    cross-engine argmin discipline as query_probe_buckets).
+    passed in; the plan shape is identical). Distances round to 6 dp
+    before ranking (same cross-engine argmin discipline as
+    query_probe_buckets).
+
+    Quantizer-size scaling: the Column path embeds centroids as plan
+    LITERALS (pure Column assignment, zero extra shuffle) — right for
+    the small quantizers an external SQL oracle can re-derive, wrong
+    past a few hundred cells (expression/codegen size grows with
+    n_cells). The numpy path ships the centroid matrix inside the UDF
+    closure instead, so it scales to the 4k-64k-cell quantizers a real
+    100 TB corpus wants — use_numpy=True is the production default
+    posture, the Column twin exists for bit-exact oracle checks.
     """
     if centroids is None:
         rows = (
