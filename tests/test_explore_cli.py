@@ -37,6 +37,47 @@ def test_explore_subcommands(spark, tmp_path, capsys):
         json.loads(out[0])  # JSON-lines contract holds
 
 
+def test_maintain_cli_roundtrip(spark, tmp_path, capsys):
+    """maintain.py drives compact -> stats -> vacuum-superseded ->
+    vacuum-orphans end-to-end over a chunk-fragmented table."""
+    import json as _json
+
+    import maintain
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 1_500, partitions=4)
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    run_pipeline(spark, full, base, run_id="chunk2")
+
+    assert maintain.main(["--base", base, "compact", "--run-id", "compactM"],
+                         spark=spark) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["run_id"] == "compactM" and rep["partitions"] > 0
+
+    assert maintain.main(["--base", base, "stats"], spark=spark) == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["total_rows"] == 1_500
+
+    assert maintain.main(
+        ["--base", base, "vacuum-superseded", "--run-id", "compactM"],
+        spark=spark) == 0
+    vs = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vs["removed"] > 0
+
+    assert maintain.main(
+        ["--base", base, "vacuum-orphans", "--min-age-hours", "0"],
+        spark=spark) == 0
+    vo = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vo["removed"] == 0  # nothing orphaned
+
+    from commerce_logs_pipeline_spark.operators.router import read_routed
+
+    assert read_routed(spark, base).count() == 1_500
+
+
 def test_explore_keys_env_errors_when_column_absent(spark, tmp_path, capsys):
     """keys --env must ERROR when the routed table carries no environment
     column — r3 silently filtered `category` instead, returning
