@@ -139,3 +139,59 @@ def test_dup_clusters_matches_union_find_property(spark, edges):
             for r in dedup.dup_clusters(pairs, all_ids=all_ids).collect()
         }
     assert got == expected
+
+
+_PII_FRAG = st.sampled_from(
+    list("abzAZ09 .+-@_/:\t")
+    + ["@example.com", "10.0.0.", "+1 555 01", "user", "99"]
+)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.lists(_PII_FRAG, min_size=0, max_size=20).map("".join),
+            st.sampled_from([
+                "a@b.co", "x y 1.2.3.4 z", "+12 345 6789", "....@....",
+                "@", "1.2.3.4.5.6", "+1 2", "a@b.c",  # boundary shapes
+            ]),
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_pii_patterns_portable_across_engines_property(spark, texts):
+    """The PII regexes must match IDENTICALLY in Spark (Java regex) and
+    DuckDB (RE2) — counts AND redacted output — for arbitrary adversarial
+    strings. This is the empirical pin under the 'portable patterns'
+    contract in functions/text.py."""
+    import duckdb
+
+    from commerce_logs_pipeline_spark.functions.text import (
+        EMAIL_RX, IPV4_RX, PHONE_RX, pii_counts, redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: (r.p.n_email, r.p.n_ip, r.p.n_phone, r.red)
+        for r in df.select(
+            "id", pii_counts(F.col("text")).alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(t, ?, '<EMAIL>', 'g'),"
+        " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')"
+    )
+    for i, t in enumerate(texts):
+        row = con.execute(
+            "SELECT len(regexp_extract_all(t, ?)),"
+            "       len(regexp_extract_all(t, ?)),"
+            "       len(regexp_extract_all(t, ?)), " + red +
+            " FROM (SELECT ? AS t)",
+            [EMAIL_RX, IPV4_RX, PHONE_RX, EMAIL_RX, IPV4_RX, PHONE_RX, t],
+        ).fetchone()
+        assert got[i] == (row[0], row[1], row[2], row[3]), (t, got[i], row)
