@@ -1989,6 +1989,47 @@ FROM f
 """
 
 
+def q_media_video_frames(spark, sf):
+    """Video branch: one row per planned frame with a deterministic
+    8-byte window into the container bytes standing in for the codec's
+    frame buffer (no codec libs here); the oracle re-derives every
+    window with plain hex-string math over the same construction."""
+    from commerce_logs_pipeline_spark.sources.multimodal import (
+        extract_video_frames,
+        synth_media,
+    )
+
+    return extract_video_frames(synth_media(spark, 96)).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
+def _sql_media_video() -> str:
+    # videos at i%3=2; content hex = repeat(md5 hex, i%7+1); frame grid
+    # 0..duration step 1000; window start (0-based bytes) =
+    # (frame_idx * 7) % max(bytes - 7, 1), 8 bytes = 16 hex chars
+    return """
+WITH g AS (
+    SELECT i, i % 7 + 1 AS k, 3000 + i * 17 AS dur,
+           repeat(md5('media-' || i::VARCHAR), i % 7 + 1) AS hx
+    FROM generate_series(0, 95) AS s(i) WHERE i % 3 = 2
+), fr AS (
+    SELECT i, k, hx,
+           unnest(generate_series(0, dur, 1000)) AS t
+    FROM g
+)
+SELECT 'm-' || lpad(i::VARCHAR, 4, '0') AS media_id,
+       CAST(t AS BIGINT) AS frame_ts_ms,
+       CAST(16 * k AS BIGINT) AS n_bytes,
+       substring(hx,
+                 CAST(2 * (((t // 1000) * 7) % greatest(16 * k - 7, 1))
+                      + 1 AS INT),
+                 16) AS frame_hex
+FROM fr
+ORDER BY media_id, frame_ts_ms
+"""
+
+
 # ---------------------------------------------------------------------------
 # A8 partition-stats listing (explore_raw_logs.py:210-260 analog): per
 # (day, bucket) rows / distinct streams / payload bytes / first / last.
@@ -2084,6 +2125,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "media_image_features": (q_media_image_features, _sql_media_features()),
     "media_audio_features": (q_media_audio_features, _sql_media_audio()),
+    "media_video_frames": (q_media_video_frames, _sql_media_video()),
 }
 
 

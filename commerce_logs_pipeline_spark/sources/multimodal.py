@@ -203,6 +203,47 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("frame_hex", T.StringType(), True),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame extraction with the codec decode STOOD IN by a
+    deterministic byte window: one row per planned frame (the
+    frame_sample_plan grid), each carrying an 8-byte slice of the
+    container bytes at a frame-indexed offset — exactly where a real
+    decoder's frame buffer would slot in (same optional-dependency
+    stance as image/audio; no codec libs ship in this environment).
+    The windowing runs over the HEX of the content so every value is
+    re-derivable by an external SQL oracle with plain string math."""
+    v = media.filter(F.col("kind") == "video").withColumn(
+        "frame_ts_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long"),
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ),
+    )
+    return v.select(
+        "media_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.expr(
+            "substring(lower(hex(content)), "
+            f"cast(2 * pmod(cast(frame_ts_ms / {int(every_ms)} as bigint) * 7, "
+            "greatest(length(content) - 7, 1)) + 1 as int), 16)"
+        ).alias("frame_hex"),
+    )
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (bytes from repeatable md5
     stream; no external data)."""

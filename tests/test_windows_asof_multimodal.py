@@ -264,6 +264,35 @@ def test_multimodal_audio_null_duration(spark):
     assert rows["a-ok"].bytes_per_sec == 4 * 1000.0 / 2000
 
 
+def test_multimodal_video_frame_windows(spark):
+    """Each planned frame carries the deterministic 8-byte window a codec
+    frame buffer would occupy — verified against a pure-Python rederivation
+    of the construction."""
+    import hashlib
+
+    from commerce_logs_pipeline_spark.sources.multimodal import (
+        extract_video_frames,
+        synth_media,
+    )
+
+    rows = extract_video_frames(synth_media(spark, 12)).collect()
+    assert rows, "videos exist at i % 3 == 2"
+    for r in rows:
+        i = int(r.media_id.split("-")[1])
+        content = hashlib.md5(f"media-{i}".encode()).digest() * (i % 7 + 1)
+        assert r.n_bytes == len(content)
+        idx = r.frame_ts_ms // 1000
+        start = (idx * 7) % max(len(content) - 7, 1)
+        assert r.frame_hex == content[start:start + 8].hex()
+    # grid completeness: one row per 1000ms step incl. 0 and <=duration
+    per_video = {}
+    for r in rows:
+        per_video.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, ts_list in per_video.items():
+        i = int(mid.split("-")[1])
+        assert sorted(ts_list) == list(range(0, 3000 + i * 17 + 1, 1000))
+
+
 def test_multimodal_real_pil_decode(spark):
     """Optional-dependency path: with pillow importable the decode is REAL
     (open -> resize -> grayscale stats); without it, a clear ImportError.
