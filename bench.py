@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
     "embedding_topk_ivf",
+    "embedding_topk_ivf_trained",
     "embedding_dups_lsh",
     "ann_recall_at_k",
     "exact_dup_groups",
@@ -52,7 +53,7 @@ BENCH_QUERIES = [
     "transcript_status_class",
     "value_percentiles_by_type",
     "partition_stats",
-    "media_audio_features",
+    "media_features",
 ]
 
 PIPELINE_TURNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_TURNS", "4000000"))
@@ -95,6 +96,16 @@ def _prod_overrides():
         "embedding_topk_ivf": lambda spark, sf: ann.ivf_topk(
             _emb(spark, sf), _emb(spark, sf).filter("vec_id < 20"),
             k=5, n_cells=16, nprobe=2, use_numpy=True,
+        ),
+        # trained variant: the timing includes the distributed Lloyd
+        # refinement (4 assignment+mean jobs) — the full quantizer
+        # build-and-query cost, not just the probe
+        "embedding_topk_ivf_trained": lambda spark, sf: ann.ivf_topk(
+            _emb(spark, sf), _emb(spark, sf).filter("vec_id < 20"),
+            k=5, n_cells=16, nprobe=2, use_numpy=True,
+            centroids=ann.train_ivf_centroids(
+                _emb(spark, sf), n_cells=16, iterations=4
+            ),
         ),
         "near_dup_clusters": lambda spark, sf: dedup.dup_clusters(
             dedup.simhash_dups(

@@ -191,24 +191,72 @@ def shingles(col: Column, k: int = 3) -> Column:
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RX = r"\+\d[\d ]{6,16}\d"  # up to ~15 digits + separators (E.164)
+# 13-19 digits with optional single space/dash separators, word-bounded:
+# any digit run longer than 19 fails the trailing \b in BOTH leftmost-first
+# engines (Java backtracking and RE2 agree — no match, not a partial one)
+CC_RX = r"\b\d(?:[ -]?\d){12,18}\b"
+SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"  # US-style national id (structured)
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a candidate string (separators allowed) as a
+    pure Column expression, written the portable way — digit array +
+    index aggregate — so an external SQL engine reproduces it verbatim:
+    strip non-digits, reverse, double every 2nd digit (9-fold wrap), sum
+    % 10 == 0. Everything runs on the (<=25 char) candidate itself, so
+    the per-element inlining of nested lambda bodies stays O(len^2) on a
+    tiny string — no outer-column recompute trap."""
+    r = F.reverse(F.regexp_replace(cand, r"[^0-9]", ""))
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(r)),
+            lambda i: F.when(
+                i % 2 == 0,
+                F.when(
+                    F.substring(r, i, 1).cast("int") * 2 > 9,
+                    F.substring(r, i, 1).cast("int") * 2 - 9,
+                ).otherwise(F.substring(r, i, 1).cast("int") * 2),
+            ).otherwise(F.substring(r, i, 1).cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
 
 
 def pii_counts(col: Column) -> Column:
-    """struct(n_email, n_ip, n_phone) — per-document PII pattern counts,
-    the scan half of a scrubbing pass (decide/sample/route on counts
-    before paying for rewrites)."""
+    """struct(n_email, n_ip, n_phone, n_ssn, n_cc) — per-document PII
+    pattern counts, the scan half of a scrubbing pass (decide/sample/
+    route on counts before paying for rewrites). n_cc counts only
+    Luhn-VALID card-shaped candidates (shape alone false-positives on
+    any long digit run); the redaction pass still scrubs every candidate
+    conservatively."""
     return F.struct(
         F.regexp_count(col, F.lit(EMAIL_RX)).alias("n_email"),
         F.regexp_count(col, F.lit(IPV4_RX)).alias("n_ip"),
         F.regexp_count(col, F.lit(PHONE_RX)).alias("n_phone"),
+        F.regexp_count(col, F.lit(SSN_RX)).alias("n_ssn"),
+        F.size(
+            F.filter(
+                F.regexp_extract_all(col, F.lit(CC_RX), 0),
+                lambda c: luhn_valid(c),
+            )
+        ).alias("n_cc"),
     )
 
 
 def redact_pii(col: Column) -> Column:
-    """Replace every email/IPv4/phone match with a typed placeholder.
-    Order matters and is part of the contract (email first — addresses
-    can embed digit runs; then IP; then phone) — external oracles must
-    apply the same patterns in the same order."""
+    """Replace every email/IPv4/SSN/card-shaped/phone match with a typed
+    placeholder. Order matters and is part of the contract (email first —
+    addresses can embed digit runs; then IP; then SSN before CC — 9
+    digits can never be a 13+-digit card but keep the typed tag; then
+    card-shaped runs BEFORE phone so a 13+-digit sequence gets the <CC>
+    tag; then phone) — external oracles must apply the same patterns in
+    the same order. Card redaction is shape-based (no Luhn gate): a
+    scrubbing pass must never keep a candidate because its checksum
+    failed."""
     out = F.regexp_replace(col, EMAIL_RX, "<EMAIL>")
     out = F.regexp_replace(out, IPV4_RX, "<IP>")
+    out = F.regexp_replace(out, SSN_RX, "<SSN>")
+    out = F.regexp_replace(out, CC_RX, "<CC>")
     return F.regexp_replace(out, PHONE_RX, "<PHONE>")

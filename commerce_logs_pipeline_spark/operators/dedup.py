@@ -33,13 +33,19 @@ the long-lived-session footgun VERDICT r3 #4 flagged.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 # --- scoped cache registry -------------------------------------------------
-_ACTIVE_SCOPE: list[DataFrame] | None = None
+# ContextVar (not a module global) so concurrent driver threads / async
+# contexts each get their own scope stack — a persist from thread B must
+# not register into (and be unpersisted by) thread A's exiting scope.
+_ACTIVE_SCOPE: ContextVar[list[DataFrame] | None] = ContextVar(
+    "dedup_active_scope", default=None
+)
 
 
 def _persist(df: DataFrame,
@@ -47,8 +53,9 @@ def _persist(df: DataFrame,
     """Persist an operator intermediate; inside a ``released_after`` scope
     the handle is tracked for automatic unpersist on exit."""
     df = df.persist(level)
-    if _ACTIVE_SCOPE is not None:
-        _ACTIVE_SCOPE.append(df)
+    scope = _ACTIVE_SCOPE.get()
+    if scope is not None:
+        scope.append(df)
     return df
 
 
@@ -61,13 +68,14 @@ def released_after():
         with released_after():
             pairs = minhash_lsh_pairs(docs).collect()
 
-    Nests: an inner scope releases only its own persists."""
-    global _ACTIVE_SCOPE
-    prev, _ACTIVE_SCOPE = _ACTIVE_SCOPE, []
+    Nests: an inner scope releases only its own persists. Scopes are
+    per-thread/per-async-context (ContextVar)."""
+    token = _ACTIVE_SCOPE.set([])
     try:
         yield
     finally:
-        scope, _ACTIVE_SCOPE = _ACTIVE_SCOPE, prev
+        scope = _ACTIVE_SCOPE.get()
+        _ACTIVE_SCOPE.reset(token)
         for f in scope:
             f.unpersist()
 
@@ -231,21 +239,35 @@ def dup_clusters(
         ).collect()[0]["s"]
 
     prev_sum = label_sum(labels)
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), on="src"
         ).select(F.col("dst").alias("id"), "label")
-        new_labels = (
+        labels = (
             nbr.union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        # Labels only ever decrease, so the decimal label-sum is strictly
+        # monotone until the fixpoint: an unchanged sum across ANY span of
+        # rounds proves no label moved in that span. Checking every 2nd
+        # round halves the driver round-trips (one scalar collect each).
+        if it % 2 == 1 or it == max_iterations - 1:
+            new_sum = label_sum(labels)
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not reach the "
+            f"fixpoint within max_iterations={max_iterations}; a component "
+            f"has propagation diameter > {max_iterations} and its cluster "
+            f"labels would be silently split. Re-run with a larger "
+            f"max_iterations."
+        )
     out = labels.select("id", F.col("label").alias("cluster_id"))
     if all_ids is not None:
         first = all_ids.columns[0]

@@ -17,6 +17,7 @@ each sink write is partitioned by (day, bucket(conv_id)) — the Iceberg
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -319,6 +320,12 @@ def compact_routed(
             "for later maintenance passes"
         )
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
+    # Supersession boundary: everything this compaction consolidates was
+    # committed BEFORE this instant; a chunk that commits after it (while
+    # the rewrite below runs) is not in the source set and must stay
+    # visible — visible_runs orders supersession by this read-asof, not
+    # by the compact commit's wall clock.
+    read_asof = datetime.now(timezone.utc)
     state = manifest.current_state(spark)
     closed = {
         (r["day"], r["bucket"])
@@ -385,12 +392,13 @@ def compact_routed(
         .parquet(f"{root}/runid={run_id}")
     )
     events = spark.createDataFrame(
-        [(d, b, "closed", None, 0, 0, 0, 0, None, None, run_id)
+        [(d, b, "closed", None, 0, 0, 0, 0, None, None, run_id, read_asof)
          for d, b in todo],
         "day string, bucket int, status string, max_turn_watermark long, "
         "rows_processed long, rows_routed long, rows_skipped long, "
         "rows_error long, first_processed_ts timestamp, "
-        "last_processed_ts timestamp, run_id string",
+        "last_processed_ts timestamp, run_id string, "
+        "superseded_asof timestamp",
     ).withColumn("updated_at", F.current_timestamp())
     manifest.append(events)
     files_after = len(

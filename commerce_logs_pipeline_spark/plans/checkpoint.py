@@ -73,7 +73,12 @@ class ManifestStore:
         self.path = path
 
     def append(self, events: DataFrame) -> None:
-        """Append completion events (schema = MANIFEST_SCHEMA)."""
+        """Append completion events (schema = MANIFEST_SCHEMA; optional
+        trailing fields like ``superseded_asof`` are null-filled so
+        chunk-event producers don't have to carry them)."""
+        for f in MANIFEST_SCHEMA.fields:
+            if f.name not in events.columns:
+                events = events.withColumn(f.name, F.lit(None).cast(f.dataType))
         events.select([f.name for f in MANIFEST_SCHEMA.fields]).write.mode(
             "append"
         ).parquet(self.path)
@@ -107,34 +112,49 @@ class ManifestStore:
         reprocess, or a compaction whose superseded chunks have not been
         vacuumed yet).
 
+        Supersession ordering: a self-contained run hides only what it
+        actually consolidated — its boundary is ``superseded_asof`` (the
+        wall-clock instant it READ its sources, recorded by
+        compact_routed / full reprocess) falling back to commit time for
+        pre-r5 events. A chunk that commits while a compaction is in
+        flight therefore stays visible (its commit time is after the
+        compactor's read boundary) instead of being lost to the anchor
+        and then vacuum-deleted. Residual caveat: two concurrent
+        MAINTENANCE writers are still undefined (single maintenance
+        writer at a time; normal chunk writers are safe).
+
         Scale: manifest-sized frames throughout (one row per partition
         per run); the anchor join is broadcast."""
         per_run = (
             self._read_log(spark)
             .groupBy(*KEY, "run_id")
-            .agg(F.max("updated_at").alias("_ts"))
+            .agg(
+                F.max("updated_at").alias("_ts"),
+                F.min("superseded_asof").alias("_asof"),
+            )
             .withColumn("_sc", is_self_contained(F.col("run_id")))
+            .withColumn("_b", F.coalesce("_asof", "_ts"))
         )
         anchor = (
             per_run.filter(F.col("_sc"))
             .groupBy(*KEY)
             .agg(
                 F.max(
-                    F.struct(F.col("_ts"), F.col("run_id").alias("_rid"))
+                    F.struct(F.col("_b"), F.col("run_id").alias("_rid"))
                 ).alias("_a")
             )
             .select(
                 *KEY,
-                F.col("_a._ts").alias("_ats"),
+                F.col("_a._b").alias("_ab"),
                 F.col("_a._rid").alias("_arid"),
             )
         )
         return (
             per_run.join(F.broadcast(anchor), on=KEY, how="left")
             .filter(
-                F.col("_ats").isNull()
+                F.col("_ab").isNull()
                 | (F.col("run_id") == F.col("_arid"))
-                | ((~F.col("_sc")) & (F.col("_ts") > F.col("_ats")))
+                | ((~F.col("_sc")) & (F.col("_ts") > F.col("_ab")))
             )
             .select(*KEY, "run_id")
         )

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +104,11 @@ def run_pipeline(
     the same inputs converges to the same state (X3/X9/X10 in SURVEY §4).
     """
     t0 = time.monotonic()
+    # Self-contained runs record the instant they started reading their
+    # source as the supersession boundary (see ManifestStore.visible_runs):
+    # a chunk that commits while this full reprocess is running stays
+    # visible rather than being hidden by the later commit timestamp.
+    read_asof = datetime.now(timezone.utc)
     # resume=False reprocesses WHOLE partitions, so its rows overlap any
     # earlier commits of the same partitions: the auto-generated run id
     # carries the "full" self-contained prefix (checkpoint.
@@ -234,12 +240,15 @@ def run_pipeline(
     # watermark: the next resume continues MID-PARTITION from turn > w
     # (the growing-blob tail model, processor.go:86-116); the final chunk
     # closes the latch.
-    manifest.append(
-        completion_events(
-            with_partition_cols(agg_source), run_id,
-            status="closed" if close_partitions else "open",
-        )
+    events = completion_events(
+        with_partition_cols(agg_source), run_id,
+        status="closed" if close_partitions else "open",
     )
+    if not resume:  # self-contained full reprocess: stamp read boundary
+        events = events.withColumn(
+            "superseded_asof", F.lit(read_asof).cast("timestamp")
+        )
+    manifest.append(events)
     phases["manifest"] = round(time.monotonic() - tp, 2)
     agg_source.unpersist()
 

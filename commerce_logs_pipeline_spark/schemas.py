@@ -233,6 +233,16 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("last_processed_ts", T.TimestampType(), True),
         T.StructField("run_id", T.StringType(), True),
         T.StructField("updated_at", T.TimestampType(), True),
+        # Self-contained runs only (compact/full prefix): the wall-clock
+        # instant the run READ its sources. Supersession is ordered by
+        # this, not by commit time — a chunk that commits while a
+        # compaction is in flight (after the compactor read the manifest,
+        # before it committed) keeps a later boundary and stays visible
+        # instead of being silently hidden and vacuum-deleted (lost
+        # update). Null on chunk events and on pre-r5 manifest files
+        # (explicit read schema -> nulls; visible_runs falls back to
+        # updated_at).
+        T.StructField("superseded_asof", T.TimestampType(), True),
     ]
 )
 

@@ -127,10 +127,11 @@ def run(args, spark) -> int:
         col = F.col(args.column)
         src = df.filter(col.isNotNull())
         p = pii_counts(col)
+        total = (
+            p["n_email"] + p["n_ip"] + p["n_phone"] + p["n_ssn"] + p["n_cc"]
+        )
         if args.redact:
-            out = src.filter(
-                (p["n_email"] + p["n_ip"] + p["n_phone"]) > 0
-            ).select(
+            out = src.filter(total > 0).select(
                 "conv_id", "turn_idx", "category",
                 redact_pii(col).alias("redacted"),
             )
@@ -140,9 +141,9 @@ def run(args, spark) -> int:
                 F.sum(p["n_email"]).alias("emails"),
                 F.sum(p["n_ip"]).alias("ips"),
                 F.sum(p["n_phone"]).alias("phones"),
-                F.sum(
-                    ((p["n_email"] + p["n_ip"] + p["n_phone"]) > 0).cast("int")
-                ).alias("rows_with_pii"),
+                F.sum(p["n_ssn"]).alias("ssns"),
+                F.sum(p["n_cc"]).alias("cards_luhn_valid"),
+                F.sum((total > 0).cast("int")).alias("rows_with_pii"),
             )
         _emit(out, args.limit, args.json)
     return 0

@@ -143,7 +143,9 @@ def test_dup_clusters_matches_union_find_property(spark, edges):
 
 _PII_FRAG = st.sampled_from(
     list("abzAZ09 .+-@_/:\t")
-    + ["@example.com", "10.0.0.", "+1 555 01", "user", "99"]
+    + ["@example.com", "10.0.0.", "+1 555 01", "user", "99",
+       "123-45-6789", "4111 1111 1111 1111", "4111-1111-1111-1112",
+       "5500 0000 0000 0004", "1234 5678 9012 345"]
 )
 
 
@@ -154,6 +156,9 @@ _PII_FRAG = st.sampled_from(
             st.sampled_from([
                 "a@b.co", "x y 1.2.3.4 z", "+12 345 6789", "....@....",
                 "@", "1.2.3.4.5.6", "+1 2", "a@b.c",  # boundary shapes
+                "4111111111111111", "411-11-1111 1111 111",  # cc/ssn edges
+                "12345678901234567890123",  # >19-digit run: no CC match
+                "000-00-0000", "9 999-99-99999",
             ]),
         ),
         min_size=1, max_size=12,
@@ -162,20 +167,21 @@ _PII_FRAG = st.sampled_from(
 @settings(**_SETTINGS)
 def test_pii_patterns_portable_across_engines_property(spark, texts):
     """The PII regexes must match IDENTICALLY in Spark (Java regex) and
-    DuckDB (RE2) — counts AND redacted output — for arbitrary adversarial
-    strings. This is the empirical pin under the 'portable patterns'
-    contract in functions/text.py."""
+    DuckDB (RE2) — counts (incl. the Luhn-gated card count) AND redacted
+    output — for arbitrary adversarial strings. This is the empirical pin
+    under the 'portable patterns' contract in functions/text.py."""
     import duckdb
 
     from commerce_logs_pipeline_spark.functions.text import (
-        EMAIL_RX, IPV4_RX, PHONE_RX, pii_counts, redact_pii,
+        CC_RX, EMAIL_RX, IPV4_RX, PHONE_RX, SSN_RX, pii_counts, redact_pii,
     )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id long, text string"
     )
     got = {
-        r.id: (r.p.n_email, r.p.n_ip, r.p.n_phone, r.red)
+        r.id: (r.p.n_email, r.p.n_ip, r.p.n_phone, r.p.n_ssn, r.p.n_cc,
+               r.red)
         for r in df.select(
             "id", pii_counts(F.col("text")).alias("p"),
             redact_pii(F.col("text")).alias("red"),
@@ -183,15 +189,33 @@ def test_pii_patterns_portable_across_engines_property(spark, texts):
     }
     con = duckdb.connect()
     red = (
-        "regexp_replace(regexp_replace(regexp_replace(t, ?, '<EMAIL>', 'g'),"
-        " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')"
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(t, ?, '<EMAIL>', 'g'), ?, '<IP>', 'g'),"
+        " ?, '<SSN>', 'g'), ?, '<CC>', 'g'), ?, '<PHONE>', 'g')"
+    )
+    luhn = (
+        "list_sum(list_transform(generate_series(1, "
+        "length(replace(replace(c, ' ', ''), '-', ''))), i -> "
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN CAST(reverse(replace(replace(c, ' ', ''), '-', ''))[i] "
+        "AS INT) * 2 > 9 "
+        "THEN CAST(reverse(replace(replace(c, ' ', ''), '-', ''))[i] "
+        "AS INT) * 2 - 9 "
+        "ELSE CAST(reverse(replace(replace(c, ' ', ''), '-', ''))[i] "
+        "AS INT) * 2 END "
+        "ELSE CAST(reverse(replace(replace(c, ' ', ''), '-', ''))[i] "
+        "AS INT) END)) % 10 = 0"
     )
     for i, t in enumerate(texts):
         row = con.execute(
             "SELECT len(regexp_extract_all(t, ?)),"
             "       len(regexp_extract_all(t, ?)),"
-            "       len(regexp_extract_all(t, ?)), " + red +
+            "       len(regexp_extract_all(t, ?)),"
+            "       len(regexp_extract_all(t, ?)),"
+            "       len(list_filter(regexp_extract_all(t, ?), c -> "
+            + luhn + ")), " + red +
             " FROM (SELECT ? AS t)",
-            [EMAIL_RX, IPV4_RX, PHONE_RX, EMAIL_RX, IPV4_RX, PHONE_RX, t],
+            [EMAIL_RX, IPV4_RX, PHONE_RX, SSN_RX, CC_RX,
+             EMAIL_RX, IPV4_RX, SSN_RX, CC_RX, PHONE_RX, t],
         ).fetchone()
-        assert got[i] == (row[0], row[1], row[2], row[3]), (t, got[i], row)
+        assert got[i] == tuple(row), (t, got[i], row)

@@ -313,3 +313,47 @@ def test_quality_score_range(spark, parsed_10k):
     q = parsed_10k.select(TX.quality_score(F.col("text")).alias("q"))
     bad = q.filter((F.col("q") < 0) | (F.col("q") > 1)).count()
     assert bad == 0
+
+
+def test_ivf_trained_centroids_improve_recall(spark):
+    """Distributed Lloyd training (train_ivf_centroids) beats the
+    deterministic smallest-id sampled quantizer at equal nprobe on a
+    corpus built so every true cluster STRADDLES two sampled cells:
+    the 4 smallest-id vectors sit at angles 10/100/190/280 (cell
+    boundaries at 55/145/235/325) while the 4 true clusters center on
+    45/135/225/315 and span +-34 degrees — each cluster's tail crosses a
+    boundary, and queries placed right at the cut see only one side with
+    untrained nprobe=1; trained centroids migrate onto the cluster
+    centers and recover the whole cluster per cell."""
+    import math
+
+    rows = [
+        (c, [math.cos(math.radians(10.0 + c * 90.0)),
+             math.sin(math.radians(10.0 + c * 90.0))])
+        for c in range(4)
+    ]
+    i = 4
+    qids = []
+    for c in range(4):
+        for j in range(18):
+            ang = math.radians(45.0 + 90.0 * c + (j - 8.5) * 4.0)
+            rows.append((i, [math.cos(ang), math.sin(ang)]))
+            if j == 11:  # ~55°+90c: right at the untrained cell boundary
+                qids.append(i)
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(qids))
+    exact = ann.brute_force_topk(df, q, k=5)
+
+    def avg_recall(centroids) -> float:
+        approx = ann.ivf_topk(
+            df, q, k=5, n_cells=4, nprobe=1, centroids=centroids
+        )
+        rec = ann.recall_at_k(approx, exact).collect()
+        return sum(r.recall for r in rec) / len(rec)
+
+    trained = ann.train_ivf_centroids(df, n_cells=4, iterations=4)
+    r_sampled = avg_recall(None)  # default smallest-id quantizer
+    r_trained = avg_recall(trained)
+    assert r_trained > r_sampled
+    assert r_trained >= 0.9
