@@ -132,19 +132,25 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes))
-    q = (
-        queries.select(
-            F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    if probes <= 0:
+        # no Generate in the single-probe plan (the r4 explode-of-a-
+        # 1-element-array shape measured ~+0.3 s of fixed overhead at
+        # sf0.1 — BENCH/NOTES.md r5 adjudication)
+        q = q.withColumn("bucket", hyperplane_bucket(F.col("_qv"), planes))
+    else:
         # withColumn (not inline-in-explode): the probe array is an
         # expensive multi-ref intermediate, which CollapseProject leaves
         # materialized instead of re-inlining into the Generate
-        .withColumn(
-            "_probes", query_probe_buckets(F.col("_qv"), planes, probes)
+        q = (
+            q.withColumn(
+                "_probes", query_probe_buckets(F.col("_qv"), planes, probes)
+            )
+            .withColumn("bucket", F.explode("_probes"))
+            .drop("_probes")
         )
-        .withColumn("bucket", F.explode("_probes"))
-        .drop("_probes")
-    )
     cand = c.join(F.broadcast(q), on="bucket")
     if probes > 0:
         # a neighbor reachable through several probe buckets scores once

@@ -186,15 +186,23 @@ def dup_clusters(
     generator in this module: pairs say "these two match", clusters say
     "keep doc X, drop the rest").
 
-    Distributed min-label propagation: each round joins the symmetrized
-    edge list against the current label frame and takes the per-vertex
-    min over self+neighbors — one shuffle join per round, label frame one
-    row per vertex, nothing driver-sized. Converges in O(component
-    diameter) rounds; near-dup components are small cliques/short chains
-    (diameter 2-4), and ``max_iterations`` bounds adversarial chains.
+    Distributed min-label propagation WITH pointer jumping: each round
+    takes the per-vertex min over self + neighbors' labels (hash-min,
+    one edges-vs-labels shuffle join) + label(label(v)) (pointer
+    jumping, one labels self-join — label frames are vertex-sized).
+    Hash-min alone converges in O(component diameter) rounds, which is
+    NOT a safe bound for real near-dup graphs: templated corpora chain
+    into giant components (sf0.1 simhash: one 2657-vertex component
+    whose diameter exceeds 20 — plain hash-min exhausted
+    max_iterations and, pre-r5, silently returned split labels).
+    Pointer jumping doubles the compressed path length per round, so
+    convergence is O(log diameter) — 8 rounds on that same graph; the
+    default max_iterations=20 covers diameter ~2^19.
     Convergence is detected via the label-sum invariant (labels only
     ever decrease, so an unchanged sum means a fixed point) — one scalar
-    aggregate per round, no row-level comparison join.
+    aggregate per round, no row-level comparison join; exhausting
+    max_iterations without the fixpoint raises instead of returning
+    partial clusters.
 
     ``all_ids`` (one id column) adds singleton vertices so every document
     receives a cluster row.
@@ -227,10 +235,18 @@ def dup_clusters(
     # iterate ONLY over vertices that appear in a pair — singletons can
     # never change label, so carrying them through every round's
     # union+groupBy would multiply the label frame by corpus/dup-rate
-    # for nothing; they join the result once at the end
-    verts = edges.select(F.col("src").alias("id"))
-    labels = verts.distinct().withColumn("label", F.col("id")).localCheckpoint(
-        eager=True
+    # for nothing; they join the result once at the end.
+    # Round 1 is FUSED into initialization: with every label starting as
+    # its own id, the first propagation is label(v) = min(v, min
+    # neighbor id) — a single groupBy over the edge list, no join and no
+    # separate init frame to checkpoint (saves one full round of
+    # join+shuffle+checkpoint+collect; cliques land on their final label
+    # immediately and pay only the one verification round below)
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("label"))
+        .localCheckpoint(eager=True)
     )
     # decimal sum: overflow-proof convergence invariant at any id scale
     def label_sum(frame: DataFrame):
@@ -240,26 +256,41 @@ def dup_clusters(
 
     prev_sum = label_sum(labels)
     converged = False
-    for it in range(max_iterations):
-        nbr = edges.join(
-            labels.withColumnRenamed("id", "src"), on="src"
-        ).select(F.col("dst").alias("id"), "label")
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .select(F.col("dst").alias("id"), "label")
+        )
+        # pointer jumping: label(label(v)). label(v) is always a pair-
+        # vertex id in the same component, so it is a key of ``labels``
+        # and the inner join loses nothing (the self union below keeps
+        # every vertex regardless)
+        jump = (
+            labels.join(
+                labels.select(
+                    F.col("id").alias("label"), F.col("label").alias("_jl")
+                ),
+                on="label",
+            )
+            .select("id", F.col("_jl").alias("label"))
+        )
         labels = (
-            nbr.union(labels.select("id", "label"))
+            nbr.union(jump)
+            .union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        # Labels only ever decrease, so the decimal label-sum is strictly
-        # monotone until the fixpoint: an unchanged sum across ANY span of
-        # rounds proves no label moved in that span. Checking every 2nd
-        # round halves the driver round-trips (one scalar collect each).
-        if it % 2 == 1 or it == max_iterations - 1:
-            new_sum = label_sum(labels)
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
+        # labels only ever decrease, so an unchanged decimal sum proves
+        # the fixpoint; the collect is a one-stage scalar over the
+        # just-checkpointed frame (cheap next to the round's shuffle —
+        # an every-2nd-round check was tried and trades this collect for
+        # up to two EXTRA join rounds, a strictly worse exchange)
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"dup_clusters: min-label propagation did not reach the "
