@@ -231,22 +231,31 @@ def streaming_dedup_turns(
     )
 
 
-def streaming_hourly_counts(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
-    """Watermarked tumbling-window counts (T3 late-data handling)."""
+def streaming_hourly_counts(
+    stream: DataFrame, lateness: str | None = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts (T3 late-data handling).
+    ``lateness=None`` inherits an upstream watermark — required when
+    composing after another stateful operator (e.g. streaming_dedup_
+    turns): Spark disallows redefining the watermark mid-pipeline."""
     return (
-        stream.withWatermark("ts", lateness)
+        (stream if lateness is None else stream.withWatermark("ts", lateness))
         .groupBy(F.window("ts", "1 hour"), "role")
         .agg(F.count("*").alias("n"))
     )
 
 
 def streaming_session_close(
-    stream: DataFrame, gap: str = "5 minutes", lateness: str = "10 minutes"
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    lateness: str | None = "10 minutes",
 ) -> DataFrame:
     """T1 blob-close analog: a conversation session closes after ``gap``
-    of inactivity; emits one row per closed session via session_window."""
+    of inactivity; emits one row per closed session via session_window.
+    ``lateness=None`` inherits an upstream watermark (see
+    streaming_hourly_counts)."""
     return (
-        stream.withWatermark("ts", lateness)
+        (stream if lateness is None else stream.withWatermark("ts", lateness))
         .groupBy(F.session_window("ts", gap), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),

@@ -213,3 +213,116 @@ def test_compact_skips_open_partitions(spark, tmp_path):
     # both chunk dirs still fully readable incrementally
     n = df.filter(F.col("turn_idx") <= 3).count()
     assert read_routed(spark, base, incremental=True).count() == n
+
+
+def test_visible_runs_read_asof_supersession(spark, tmp_path):
+    """The lost-update race ADVICE r5 flagged: a chunk that commits while
+    a compaction is in flight (after the compactor read the manifest,
+    before its commit landed) must STAY visible — supersession is ordered
+    by the maintenance run's source-read instant (superseded_asof), not
+    its commit wall-clock."""
+    import datetime as dt
+
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+
+    store = ManifestStore(str(tmp_path / "_manifest"))
+
+    def ev(run_id, upd, asof=None):
+        return spark.createDataFrame(
+            [("2024-01-01", 0, "closed", None, 10, 10, 0, 0, None, None,
+              run_id, upd, asof)],
+            "day string, bucket int, status string, "
+            "max_turn_watermark long, rows_processed long, "
+            "rows_routed long, rows_skipped long, rows_error long, "
+            "first_processed_ts timestamp, last_processed_ts timestamp, "
+            "run_id string, updated_at timestamp, "
+            "superseded_asof timestamp",
+        )
+
+    t = lambda s: dt.datetime(2024, 1, 2, 12, 0, s)
+    store.append(ev("chunkA", t(0)))          # before the compactor read
+    store.append(ev("chunkB", t(20)))         # commits DURING compaction
+    # compactor: read manifest at t=10 (saw only chunkA), committed t=30
+    store.append(ev("compactX", t(30), asof=t(10)))
+
+    vis = {r["run_id"] for r in store.visible_runs(spark).collect()}
+    assert vis == {"compactX", "chunkB"}, vis  # chunkA folded, B survives
+
+    # a later full reprocess supersedes everything committed before ITS
+    # read boundary, including the compact anchor
+    store.append(ev("fullY", t(50), asof=t(40)))
+    vis2 = {r["run_id"] for r in store.visible_runs(spark).collect()}
+    assert vis2 == {"fullY"}, vis2
+
+
+def test_maintenance_schedule_property(spark, tmp_path):
+    """Interleaved chunk appends / latch close / compaction / vacuum /
+    full reprocess: the authoritative row set (read_routed incremental)
+    must equal the committed turn set after EVERY step — the supersede
+    convention may never hide or duplicate a row. Deterministic schedule
+    battery instead of @given: each schedule is a worst-case interleaving
+    pattern (compact-after-chunks, full-after-compact, double-compact,
+    compact-before-close-noop). Schedule grammar respects the latch
+    contract: ``closeN`` is the terminal growth step (closed partitions
+    never reopen, so a grow after a real close is silently dropped BY
+    DESIGN and would make the expected set partition-dependent)."""
+    schedules = [
+        ["grow2", "grow3", "close5", "compact", "vacuum", "full"],
+        ["grow3", "compact", "close2", "compact", "vacuum"],
+        ["grow2", "close1", "full", "compact", "vacuum", "full"],
+        ["close5", "compact", "compact", "vacuum", "full", "full"],
+    ]
+    for si, schedule in enumerate(schedules):
+        base = str(tmp_path / f"out{si}")
+        full = generate_transcripts(spark, 1_500, partitions=4)
+        full = full.persist()
+        max_turn = full.agg(F.max("turn_idx")).collect()[0][0]
+        cap = -1
+        compacted = None
+
+        def committed_keys():
+            return sorted(
+                map(tuple,
+                    read_routed(spark, base, incremental=True)
+                    .select("conv_id", "turn_idx").collect())
+            )
+
+        def expected_keys(c):
+            return sorted(
+                map(tuple,
+                    full.filter(F.col("turn_idx") <= c)
+                    .select("conv_id", "turn_idx").collect())
+            )
+
+        for step, op in enumerate(schedule):
+            if op.startswith("grow"):
+                cap = min(max_turn, cap + int(op[4:]))
+                run_pipeline(
+                    spark, full.filter(F.col("turn_idx") <= cap), base,
+                    run_id=f"s{si}g{step}", close_partitions=False,
+                    write_aggregates=False,
+                )
+            elif op.startswith("close"):
+                cap = min(max_turn, cap + int(op[5:]))
+                run_pipeline(
+                    spark, full.filter(F.col("turn_idx") <= cap), base,
+                    write_aggregates=False,
+                )
+            elif op == "full":
+                run_pipeline(
+                    spark, full.filter(F.col("turn_idx") <= cap), base,
+                    resume=False, write_aggregates=False,
+                )
+            elif op == "compact":
+                rep = compact_routed(spark, base)
+                compacted = rep["run_id"] or compacted
+            elif op == "vacuum":
+                if compacted:
+                    vacuum_superseded(spark, base, compacted)
+            got = committed_keys()
+            want = expected_keys(cap)
+            assert got == want, (
+                f"schedule {si} step {step} ({op}): "
+                f"{len(got)} rows vs expected {len(want)}"
+            )
+        full.unpersist()

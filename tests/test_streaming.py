@@ -274,3 +274,90 @@ def test_kafka_wire_round_trip(spark):
         (f.name, f.dataType) for f in src.schema.fields
     ]
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_streaming_composed_e2e_with_restart(spark, tmp_path):
+    """VERDICT r5 #6: the streaming operators COMPOSED — at-least-once
+    source -> watermark-bounded dedup -> session close AND hourly counts
+    in the same logical stream — with a stop/restart (new backlog files +
+    fresh redeliveries of already-processed rows) in the middle. The
+    individually-tested pieces must keep their guarantees when their
+    state machines (dedup state, session windows, window aggregates,
+    watermark) share one pipeline across a checkpoint recovery."""
+    from commerce_logs_pipeline_spark.streaming.stream_pipeline import (
+        streaming_dedup_turns,
+        streaming_hourly_counts,
+        streaming_session_close,
+    )
+
+    src = str(tmp_path / "in")
+    all_rows = generate_transcripts(spark, 2_000, partitions=4).persist()
+    # split by TIME, the real backlog shape: phase 2's new rows sit ahead
+    # of the recovered watermark (an id-based split would feed the
+    # restarted stream rows behind the phase-1 watermark, which the
+    # lateness contract DROPS by design — that's a different test)
+    split_ts = all_rows.agg(
+        F.percentile_approx("ts", 0.5).alias("p")
+    ).collect()[0]["p"]
+    half_a = all_rows.filter(F.col("ts") <= F.lit(split_ts))
+    half_b = all_rows.filter(F.col("ts") > F.lit(split_ts))
+
+    def run_phase():
+        deduped = streaming_dedup_turns(stream_transcripts(spark, src))
+        qs = []
+        for name, frame in (
+            ("e2e_sessions", streaming_session_close(
+                deduped, gap="5 minutes", lateness=None)),
+            ("e2e_hourly", streaming_hourly_counts(deduped, lateness=None)),
+        ):
+            qs.append(
+                frame.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{name}")
+                )
+                .start()
+            )
+        for q in qs:
+            q.awaitTermination(300)
+
+    # phase 1: half the turns, plus a same-phase redelivery of them
+    half_a.write.mode("overwrite").parquet(src)
+    half_a.write.mode("append").parquet(src)
+    run_phase()
+    mid = spark.sql("SELECT sum(n) AS s FROM e2e_hourly").collect()[0]["s"]
+    assert mid == half_a.count()  # redelivered rows deduped pre-agg
+
+    # "crash"/restart: new backlog lands — the other half PLUS another
+    # redelivery of phase-1 rows — and both queries resume from their
+    # checkpoints (dedup + aggregate state recovered, not recomputed)
+    half_b.write.mode("append").parquet(src)
+    half_a.limit(200).write.mode("append").parquet(src)
+    run_phase()
+
+    n_total = all_rows.count()
+    got_hourly = spark.sql("SELECT sum(n) AS s FROM e2e_hourly").collect()[
+        0
+    ]["s"]
+    assert got_hourly == n_total  # every unique turn exactly once
+
+    # session totals per conversation == unique turns per conversation
+    totals = (
+        spark.sql(
+            "SELECT conv_id, sum(n_turns) AS n FROM e2e_sessions "
+            "GROUP BY conv_id"
+        )
+    )
+    src_counts = all_rows.groupBy("conv_id").agg(F.count("*").alias("m"))
+    mism = (
+        totals.join(src_counts, "conv_id", "full")
+        .filter(
+            F.coalesce(F.col("n"), F.lit(-1))
+            != F.coalesce(F.col("m"), F.lit(-2))
+        )
+        .count()
+    )
+    assert mism == 0
+    all_rows.unpersist()
