@@ -276,6 +276,10 @@ ORDER BY o_orderkey OFFSET 100 LIMIT 50
 
 
 def q_union_parties(spark, sf):  # O3 multi-source union
+    # Retired from the driver registry in r5 (50-entry driver window made
+    # room for doc_curation_flags; VERDICT r4 flagged this entry as
+    # operator-redundant). O3 stays covered by tests/test_entry_queries.py
+    # which runs this query against SQL_UNION through the same protocol.
     c = _t(spark, sf, "customer").select(
         F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
     )
@@ -1111,6 +1115,79 @@ SELECT (SELECT count(*) FROM documents) AS n_total,
        count(*) AS n_kept,
        CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
 FROM kept
+"""
+
+
+def q_doc_curation(spark, sf):
+    """Intra-doc repetition metrics (Gopher/MassiveText filter family,
+    operators/curation.repetition_scores, 3-gram) joined with benchmark
+    13-gram decontamination (curation.decontaminate) — the benchmark is a
+    deterministic eval-set stand-in: the 50-token window [11..60] of every
+    20th document. Production path (hashed=True) carries 8-byte xxhash64
+    gram keys; the DuckDB oracle re-derives identical counts from gram
+    STRINGS (counts depend only on gram equality classes)."""
+    from commerce_logs_pipeline_spark.operators import curation
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(
+            " ", F.slice(TX.tokens(F.lower(F.col("text"))), 11, 50)
+        ).alias("text")
+    )
+    rep = curation.repetition_scores(d, n=3)
+    dec = curation.decontaminate(d, bench, n=13)
+    return rep.join(dec, "doc_id")
+
+
+def _sql_doc_curation() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), pos3 AS (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+), grams3 AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM pos3
+), counts3 AS (
+    SELECT doc_id, g, count(*) AS c FROM grams3 GROUP BY doc_id, g
+), rep AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(max(c) AS BIGINT) AS top_ngram_count,
+           CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+               AS dup_ngram_occurrences
+    FROM counts3 GROUP BY doc_id
+), bench AS (
+    SELECT t[11:60] AS bt FROM toks WHERE doc_id % 20 = 0
+), bpos AS (
+    SELECT bt, unnest(generate_series(1, greatest(len(bt) - 12, 0))) AS i
+    FROM bench
+), bgrams AS (
+    SELECT DISTINCT array_to_string(bt[i:i+12], ' ') AS g FROM bpos
+), dpos AS (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i
+    FROM toks
+), dgrams AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g FROM dpos
+), hits AS (
+    SELECT doc_id, count(*) AS matched FROM dgrams JOIN bgrams USING (g)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(rep.total_ngrams, 0) AS total_ngrams,
+       coalesce(rep.top_ngram_count, 0) AS top_ngram_count,
+       coalesce(rep.dup_ngram_occurrences, 0) AS dup_ngram_occurrences,
+       CASE WHEN coalesce(rep.total_ngrams, 0) > 0
+            THEN round(rep.top_ngram_count / rep.total_ngrams::DOUBLE, 6)
+            ELSE 0.0 END AS top_ngram_frac,
+       CASE WHEN coalesce(rep.total_ngrams, 0) > 0
+            THEN round(rep.dup_ngram_occurrences / rep.total_ngrams::DOUBLE, 6)
+            ELSE 0.0 END AS dup_ngram_frac,
+       CAST(coalesce(hits.matched, 0) AS BIGINT) AS matched_ngrams,
+       coalesce(hits.matched, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN rep ON d.doc_id = rep.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 
@@ -2236,7 +2313,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semi_join_suppliers": (q_semi_join, SQL_SEMI),
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK),
-    "union_group_count": (q_union_parties, SQL_UNION),
     "rollup_orders": (q_rollup, SQL_ROLLUP),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "route_event_counts": (q_route_counts, SQL_ROUTE_COUNTS),
@@ -2260,6 +2336,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters()),
     "pii_scan": (q_pii_scan, _sql_pii_scan()),
     "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
+    "doc_curation_flags": (q_doc_curation, _sql_doc_curation()),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),

@@ -138,6 +138,16 @@ def build_session(
             .config("spark.sql.catalog.local.type", "hadoop")
             .config("spark.sql.catalog.local.warehouse", warehouse)
         )
-    for k, v in (extra_conf or {}).items():
+    # Experiment/deploy hook: SPARK_GRAFT_EXTRA_CONF is a JSON object of
+    # spark confs applied LAST (wins over the defaults above and over
+    # extra_conf) — lets bench harnesses A/B e.g. shuffle codecs without
+    # code edits, and deployments pin site-specific conf.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    merged = dict(extra_conf or {})
+    if env_conf:
+        import json
+
+        merged.update(json.loads(env_conf))
+    for k, v in merged.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -357,3 +357,64 @@ def test_ivf_trained_centroids_improve_recall(spark):
     r_trained = avg_recall(trained)
     assert r_trained > r_sampled
     assert r_trained >= 0.9
+
+
+# --- curation: repetition metrics + decontamination ------------------------
+def test_repetition_scores_known_counts(spark):
+    from commerce_logs_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in curation.repetition_scores(docs, n=2).collect()
+    }
+    # doc 1 bigram slots: ab ba ab ba ab -> total 5, top "a b" x3, all dup
+    assert rows[1].total_ngrams == 5
+    assert rows[1].top_ngram_count == 3
+    assert rows[1].dup_ngram_occurrences == 5
+    assert rows[1].top_ngram_frac == 0.6
+    assert rows[1].dup_ngram_frac == 1.0
+    # doc 2: 5 distinct bigrams, no repetition
+    assert rows[2].total_ngrams == 5
+    assert rows[2].top_ngram_count == 1
+    assert rows[2].dup_ngram_occurrences == 0
+    # doc 3: shorter than n -> kept with zeros (explode_outer path)
+    assert rows[3].total_ngrams == 0
+    assert rows[3].top_ngram_frac == 0.0
+
+
+def test_repetition_hashed_matches_string_path(spark):
+    from commerce_logs_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} x y w{i % 3} x y z{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, curation.repetition_scores(docs, n=3, hashed=True).collect()))
+    b = sorted(map(tuple, curation.repetition_scores(docs, n=3, hashed=False).collect()))
+    assert a == b
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from commerce_logs_pipeline_spark.operators import curation
+
+    t13 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13"
+    docs = spark.createDataFrame(
+        [
+            (1, t13 + " t14"),        # shares both of its 13-grams w/ bench
+            (2, "other words " + t13),  # contains the benchmark run mid-doc
+            (3, "clean doc with none of those tokens repeated here at all "
+                "padded padded padded padded padded"),
+            (4, "short"),             # < 13 tokens -> no grams, kept clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(t13 + " t14",)], "text string")
+    rows = {r.doc_id: r for r in curation.decontaminate(docs, bench).collect()}
+    assert rows[1].contaminated and rows[1].matched_ngrams == 2
+    assert rows[2].contaminated and rows[2].matched_ngrams == 1
+    assert not rows[3].contaminated and rows[3].matched_ngrams == 0
+    assert not rows[4].contaminated
