@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "embedding_topk_ivf_trained",
     "embedding_dups_lsh",
     "ann_recall_at_k",
+    "doc_curation_flags",
     "exact_dup_groups",
     "doc_fingerprints",
     "selector_classified_counts",

@@ -22,7 +22,12 @@ from check_oracle import table_hash  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-RETIRED = ["pagination", "union_group_count"]
+RETIRED = [
+    "pagination",
+    "union_group_count",
+    "shipping_priority_top10",
+    "hourly_rollup",
+]
 
 
 def _retired_pairs():
@@ -31,6 +36,8 @@ def _retired_pairs():
     return {
         "pagination": (E.q_pagination, E.SQL_PAGINATION),
         "union_group_count": (E.q_union_parties, E.SQL_UNION),
+        "shipping_priority_top10": (E.q_shipping_priority, E.SQL_SHIPPING),
+        "hourly_rollup": (E.q_hourly_rollup, E.SQL_HOURLY),
     }
 
 

@@ -1,0 +1,149 @@
+"""Deterministic sampling (splits / strata / mixture) and vocabulary
+(df / TF-IDF) operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_logs_pipeline_spark.operators import sampling, vocab
+
+
+def _ids(spark, n=5000, domains=("web", "code", "wiki")):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(d) for d in domains]),
+            (F.col("id") % len(domains) + 1).cast("int"),
+        ).alias("source"),
+    )
+
+
+# --- split_assign -----------------------------------------------------------
+@pytest.mark.parametrize("portable", [False, True])
+def test_split_assign_total_and_proportions(spark, portable):
+    df = _ids(spark)
+    out = sampling.split_assign(df, portable=portable)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # every row assigned exactly once
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_assign_is_pure_function_of_id(spark):
+    """Membership must not depend on row order / partitioning (the rand()
+    failure mode this operator exists to avoid)."""
+    df = _ids(spark)
+    a = {r.doc_id: r.split for r in sampling.split_assign(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(
+            df.orderBy(F.desc("doc_id")).repartition(7)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_split_assign_validates_fractions(spark):
+    with pytest.raises(ValueError):
+        sampling.split_assign(_ids(spark, 10), fractions={"a": 0.5, "b": 0.4})
+
+
+def test_split_assign_is_map_only(spark):
+    plan = (
+        sampling.split_assign(_ids(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # scan-local gate: no shuffle at any SF
+
+
+# --- stratified_sample ------------------------------------------------------
+@pytest.mark.parametrize("portable", [False, True])
+def test_stratified_sample_rates_and_subset(spark, portable):
+    df = _ids(spark, 6000)
+    out = sampling.stratified_sample(
+        df, "source", {"web": 0.5, "code": 0.1}, portable=portable
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "wiki" not in counts  # default_fraction=0 drops unlisted strata
+    assert abs(counts["web"] / 2000 - 0.5) < 0.05
+    assert abs(counts["code"] / 2000 - 0.1) < 0.03
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df.repartition(5), "source", {"web": 0.5, "code": 0.1},
+            portable=portable,
+        ).select("doc_id").collect()
+    }
+    assert kept == again  # retry/replay-stable membership
+
+
+# --- mixture ----------------------------------------------------------------
+def test_mix_thresholds_exact_integer_plan():
+    space = sampling.HASH_SPACE
+    n_star, thr = sampling.mix_thresholds(
+        {"a": 100, "b": 50}, {"a": 1, "b": 1}, space
+    )
+    # W=2; N* = min(100*2//1, 50*2//1) = 100; a keeps 1*100/(2*100) = 1/2,
+    # b keeps 1*100/(2*50) = all
+    assert n_star == 100
+    assert thr["a"] == space // 2
+    assert thr["b"] == space
+
+    with pytest.raises(ValueError):
+        sampling.mix_thresholds({"a": 1, "zzz": 1}, {"a": 1})
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_resample_to_mix_hits_target_proportions(spark, portable):
+    df = _ids(spark, 9000)  # 3000 per domain
+    out = sampling.resample_to_mix(
+        df, "source", {"web": 6, "code": 3, "wiki": 1}, portable=portable
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # web is the binding domain (w=6): N* = 3000*10//6 = 5000 ->
+    # targets web 3000 (all), code 1500, wiki 500
+    assert counts["web"] == 3000
+    assert abs(counts["code"] - 1500) < 120
+    assert abs(counts["wiki"] - 500) < 80
+
+
+# --- vocab ------------------------------------------------------------------
+def test_doc_frequency_counts_docs_not_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    df = {r.term: r.df_count for r in vocab.doc_frequency(docs).collect()}
+    assert df == {"a": 2, "b": 1, "c": 2}
+
+
+def test_tfidf_topk_scores_and_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    rows = vocab.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    idf = lambda dfc: math.log(4 / (dfc + 1)) + 1  # N=3 -> (N+1)=4
+    # doc 1: a tf=2 df=2 -> 2*(ln(4/3)+1); b tf=1 df=1 -> ln(2)+1
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in top1] == ["a", "b"]
+    assert top1[0].tfidf == pytest.approx(round(2 * idf(2), 6), abs=1e-9)
+    assert top1[1].tfidf == pytest.approx(round(1 * idf(1), 6), abs=1e-9)
+    # doc 2: tie tf=1 on a (df=2) and c (df=2) -> equal tfidf, term-asc
+    top2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.term for r in top2] == ["a", "c"]
+    assert top2[0].tfidf == top2[1].tfidf
+    # doc 3: single term, k=2 returns just 1 row
+    assert [r.term for r in by_doc[3]] == ["c"]
+    assert by_doc[3][0].tf == 3
