@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "embedding_dups_lsh",
     "ann_recall_at_k",
     "doc_curation_flags",
+    "dataset_split_mix",
+    "tfidf_topk_terms",
     "exact_dup_groups",
     "doc_fingerprints",
     "selector_classified_counts",

@@ -184,3 +184,35 @@ def test_partition_file_stats_physical(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert {(r.day, r.bucket): r.n_rows for r in rows} == logical
+
+
+def test_write_clusters_rows_for_rowgroup_skipping(parsed_10k, tmp_path):
+    """The routed write sorts each file by (conv_id, turn_idx) so parquet
+    row-group min/max stats are tight — the Iceberg write.sort-order
+    analog that enables conv point/range reads to skip row groups at
+    scale. Pin: within every written file, conv_id is non-decreasing and
+    turn_idx is non-decreasing within a conv (footer stats are tight iff
+    the data is ordered)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_spark.operators.router import (
+        write_sinks_single_pass,
+    )
+
+    write_sinks_single_pass(parsed_10k, str(tmp_path), run_id="rsort")
+    files = glob.glob(
+        f"{tmp_path}/routed/runid=rsort/category=http/**/*.parquet",
+        recursive=True,
+    )
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"])
+        convs = t.column("conv_id").to_pylist()
+        turns = t.column("turn_idx").to_pylist()
+        assert convs == sorted(convs), f"conv_id unsorted in {f}"
+        last = {}
+        for c, ti in zip(convs, turns):
+            assert last.get(c, -1) <= ti, f"turn_idx unsorted within {c}"
+            last[c] = ti
