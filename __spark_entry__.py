@@ -1305,6 +1305,69 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_dataset_pack(spark, sf):
+    """Sequence packing (operators/packing.py): hash-shuffle documents,
+    range-shard, then greedy token-budget scan — every doc gets a
+    deterministic (pack_id, pack_pos) under capacity=256 whitespace
+    tokens. The DuckDB oracle replays the identical greedy scan with a
+    recursive CTE over the same portable-hash ordering (all shards
+    advance one row per recursion step), so assignments match
+    bit-for-bit."""
+    from commerce_logs_pipeline_spark.operators import packing
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tokens", TX.token_count(F.col("text"))
+    )
+    return packing.pack_greedy(
+        d,
+        tokens_col="n_tokens",
+        capacity=256,
+        n_shards=8,
+        seed=7,
+        portable=True,
+    )
+
+
+def _sql_dataset_pack() -> str:
+    # 2^40 = the shard shift in packing.pack_greedy's global pack ids
+    return """
+WITH RECURSIVE ordered AS (
+    SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_tokens,
+           row_number() OVER (PARTITION BY h % 8
+                              ORDER BY h, doc_id) AS rn
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substring(
+                   md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(string_split_regex(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    )
+), packed AS (
+    SELECT shard, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack, 0 AS pos, n_tokens AS acc
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+           CASE WHEN p.acc + o.n_tokens <= 256
+                THEN p.pack ELSE p.pack + 1 END,
+           CASE WHEN p.acc + o.n_tokens <= 256 THEN p.pos + 1 ELSE 0 END,
+           CASE WHEN p.acc + o.n_tokens <= 256
+                THEN p.acc + o.n_tokens ELSE o.n_tokens END
+    FROM ordered o JOIN packed p
+      ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard,
+       CAST(shard AS BIGINT) * 1099511627776 + pack AS pack_id,
+       CAST(pos AS INTEGER) AS pack_pos,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(acc AS BIGINT) AS pack_fill
+FROM packed
+"""
+
+
 def q_embedding_topk(spark, sf):  # brute-force ANN baseline
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -2425,7 +2488,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # keep the registry inside the driver's 50-entry correctness window.
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_BROADCAST_DIM),
-    "anti_join_customers": (q_anti_join, SQL_ANTI),
+    # anti_join_customers retired r5 (J7's anti half; semi_join_suppliers
+    # remains the driver-checked J7 witness with a non-empty result set —
+    # the anti query matches 0 rows at every SF, a weaker hash signal.
+    # Oracle parity kept in tests/test_entry_queries.py).
     "semi_join_suppliers": (q_semi_join, SQL_SEMI),
     "latest_order_per_customer": (q_latest_order_per_customer, SQL_LATEST_ORDER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK),
@@ -2457,6 +2523,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_curation_flags": (q_doc_curation, _sql_doc_curation()),
     "dataset_split_mix": (q_dataset_split_mix, _sql_dataset_split_mix()),
     "tfidf_topk_terms": (q_tfidf_topk_terms, _sql_tfidf_topk_terms()),
+    "dataset_pack": (q_dataset_pack, _sql_dataset_pack()),
     "embedding_topk_bruteforce": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_topk_lsh": (q_embedding_topk_lsh, _sql_emb_topk_lsh()),
     "embedding_dups_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS),

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "doc_curation_flags",
     "dataset_split_mix",
     "tfidf_topk_terms",
+    "dataset_pack",
     "exact_dup_groups",
     "doc_fingerprints",
     "selector_classified_counts",

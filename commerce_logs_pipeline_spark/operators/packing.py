@@ -1,0 +1,149 @@
+"""Sequence packing: assemble curated documents into fixed token-budget
+training sequences — the step a pretraining pipeline runs after
+curation/splitting (operators/curation.py, operators/sampling.py) and
+immediately before tokenized-batch writing.
+
+The reference pipeline ends at typed sinks and rollups (it has no
+dataset-assembly surface); this module extends the training-data family
+the same way operators/sampling.py does.
+
+Semantics (greedy sequential first-fit, the standard "concat until the
+next document would overflow" packing used for LLM pretraining batches):
+
+- Documents are **deterministically shuffled** by a hash of
+  ``(seed, id)`` — never ``rand()``, so the ordering (and therefore every
+  pack assignment) is idempotent under task retries/speculation and
+  re-derivable later from the ids alone.
+- The shuffled stream is range-sharded by the same hash; each shard is
+  packed independently with a linear greedy scan: a document that would
+  push the running token total past ``capacity`` starts a new pack. A
+  document longer than ``capacity`` on its own gets a pack to itself
+  (never split, never dropped — the caller's curation stage is the place
+  to drop oversize docs).
+
+Scale posture (100 TB): the only shuffle is the hash-partition by shard;
+the per-shard scan is O(rows) with O(1) state inside an Arrow-batched
+``applyInPandas``. Shards are the unit of parallelism AND of executor
+memory — choose ``n_shards`` so a shard's (id, tokens) pairs fit
+comfortably in one task (~10^7 rows per shard is fine; the scan only
+touches two int columns, not the text). Pack ids are globalized as
+``shard * 2^40 + local_pack`` so they are unique without any driver-side
+coordination or second pass.
+
+Hash families follow operators/sampling.py: xxhash64 in production,
+``portable=True`` switches to the md5-derived 60-bit family so an
+external SQL engine (the DuckDB oracle, via a recursive CTE that replays
+the same greedy scan) reproduces every pack assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.similarity import portable_hash64
+
+# local pack counter lives in the low 40 bits; shard in the bits above —
+# unique global ids with zero coordination (2^40 packs/shard headroom)
+_PACK_SHARD_SHIFT = 40
+
+
+def _pack_schema() -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("pack_id", LongType()),
+            StructField("pack_pos", IntegerType()),
+            StructField("n_tokens", LongType()),
+            StructField("pack_fill", LongType()),
+        ]
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    n_shards: int = 64,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Assign every document to a (pack_id, pack_pos) under a greedy
+    token-budget scan of the hash-shuffled corpus.
+
+    Returns one row per document: ``doc_id, shard, pack_id, pack_pos,
+    n_tokens, pack_fill`` where ``pack_fill`` is the running token total
+    of the pack after this document (so the last position's fill is the
+    pack's final length — handy for padding-efficiency metrics without a
+    second aggregation).
+    """
+    if portable:
+        h = portable_hash64(F.col(id_col).cast("string"), seed)
+    else:
+        h = F.xxhash64(F.lit(seed), F.col(id_col).cast("string"))
+
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("_ord"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one shard per call: deterministic order, O(1)-state greedy scan
+        pdf = pdf.sort_values(["_ord", "doc_id"]).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        base = shard << _PACK_SHARD_SHIFT
+        pack, pos, acc = -1, 0, 0
+        packs, poss, fills = [], [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if pack < 0 or acc + t > capacity:
+                pack, pos, acc = pack + 1, 0, t
+            else:
+                pos, acc = pos + 1, acc + t
+            packs.append(base + pack)
+            poss.append(pos)
+            fills.append(acc)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": shard,
+                "pack_id": packs,
+                "pack_pos": poss,
+                "n_tokens": pdf["n_tokens"],
+                "pack_fill": fills,
+            }
+        )
+
+    return slim.groupBy("shard").applyInPandas(scan, schema=_pack_schema())
+
+
+def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Padding-efficiency rollup over ``pack_greedy`` output: per shard,
+    the pack count, mean fill, and utilization = filled/(packs*capacity).
+    One map-side-partial aggregation; drives the "how much compute is
+    padding" number every packing run should report."""
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.max("pack_fill").alias("fill"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg("fill"), 2).alias("avg_fill"),
+        F.round(
+            F.sum("fill") / (F.count("*") * F.lit(capacity)), 6
+        ).alias("utilization"),
+    )

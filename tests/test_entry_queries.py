@@ -27,6 +27,7 @@ RETIRED = [
     "union_group_count",
     "shipping_priority_top10",
     "hourly_rollup",
+    "anti_join_customers",
 ]
 
 
@@ -38,6 +39,7 @@ def _retired_pairs():
         "union_group_count": (E.q_union_parties, E.SQL_UNION),
         "shipping_priority_top10": (E.q_shipping_priority, E.SQL_SHIPPING),
         "hourly_rollup": (E.q_hourly_rollup, E.SQL_HOURLY),
+        "anti_join_customers": (E.q_anti_join, E.SQL_ANTI),
     }
 
 

@@ -147,3 +147,82 @@ def test_tfidf_topk_scores_and_ranking(spark):
     # doc 3: single term, k=2 returns just 1 row
     assert [r.term for r in by_doc[3]] == ["c"]
     assert by_doc[3][0].tf == 3
+
+
+# --- pack_greedy ------------------------------------------------------------
+from commerce_logs_pipeline_spark.operators import packing  # noqa: E402
+
+
+def _docs_with_tokens(spark, n=2000):
+    # deterministic token counts 5..104, plus a handful of oversize docs
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 97 == 0, F.lit(400))
+        .otherwise((F.col("id") * 37 % 100 + 5))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_pack_greedy_respects_capacity_and_covers_all(spark, portable):
+    df = _docs_with_tokens(spark)
+    out = packing.pack_greedy(
+        df, tokens_col="n_tokens", capacity=256, n_shards=8,
+        seed=3, portable=portable,
+    )
+    rows = out.collect()
+    assert len(rows) == 2000  # every doc packed exactly once
+    assert len({r.doc_id for r in rows}) == 2000
+    fills = {}
+    for r in rows:
+        fills.setdefault(r.pack_id, []).append(r)
+    for pack_rows in fills.values():
+        pack_rows.sort(key=lambda r: r.pack_pos)
+        assert [r.pack_pos for r in pack_rows] == list(range(len(pack_rows)))
+        total = sum(r.n_tokens for r in pack_rows)
+        assert pack_rows[-1].pack_fill == total
+        # capacity respected unless the pack is a single oversize doc
+        assert total <= 256 or len(pack_rows) == 1
+
+
+def test_pack_greedy_oversize_doc_is_alone(spark):
+    df = _docs_with_tokens(spark)
+    out = packing.pack_greedy(
+        df, tokens_col="n_tokens", capacity=256, n_shards=8, seed=3
+    )
+    oversize = out.filter(F.col("n_tokens") > 256)
+    assert oversize.count() > 0
+    joined = (
+        out.groupBy("pack_id").agg(F.count("*").alias("n"))
+        .join(oversize, "pack_id")
+    )
+    assert joined.filter(F.col("n") > 1).count() == 0
+
+
+def test_pack_greedy_deterministic_under_repartition(spark):
+    """Assignments are a pure function of (id, tokens, seed) — immune to
+    input order/partitioning, hence to task retries and speculation."""
+    df = _docs_with_tokens(spark)
+    a = packing.pack_greedy(df, "n_tokens", capacity=200, seed=9).collect()
+    b = packing.pack_greedy(
+        df.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+        "n_tokens", capacity=200, seed=9,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_stats_utilization(spark):
+    df = _docs_with_tokens(spark)
+    out = packing.pack_greedy(
+        df, "n_tokens", capacity=256, n_shards=8, seed=3
+    )
+    stats = packing.pack_stats(out, capacity=256).collect()
+    assert sum(r.n_docs for r in stats) == 2000
+    for r in stats:
+        assert 0 < r.utilization <= 1.0 or r.n_packs == 0
+        # greedy on 5..104-token docs should fill packs reasonably well
+    overall = sum(r.avg_fill * r.n_packs for r in stats) / sum(
+        r.n_packs for r in stats
+    )
+    assert overall > 0.7 * 256
