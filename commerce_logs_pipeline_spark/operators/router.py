@@ -252,6 +252,46 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
     return routed.filter(key.isin(triples))
 
 
+def read_conversation(
+    spark,
+    pipeline_base: str,
+    conv_id: str,
+    incremental: bool = False,
+) -> DataFrame:
+    """Point read of one conversation from the routed table — the layout's
+    fast path, exercising both pruning tiers the writer set up:
+
+    1. **Partition pruning**: bucket is a pure function of conv_id
+       (``pmod(xxhash64(conv_id), N_BUCKETS)``, with_partition_cols), so
+       recomputing it here turns the read into an equality filter on a
+       partition column — the file index drops every other bucket dir
+       before any data IO (1/N_BUCKETS of the files, per category/day).
+    2. **Row-group skipping**: within each file, rows are clustered by
+       (conv_id, turn_idx) (write_sinks_single_pass sort_cols), so the
+       pushed conv_id equality prunes on tight parquet min/max footer
+       stats — the scan decodes only the row groups holding this
+       conversation.
+
+    At 100 TB this is the difference between a full-bucket scan and a
+    few-MB read; no index structure to maintain, just layout.
+    """
+    # recompute the writer's bucket transform on the executor-side hash
+    # (a 1-row local job; F.lit keeps arbitrary conv_id values safe)
+    bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(N_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .first()["b"]
+    )
+    routed = read_routed(spark, pipeline_base, incremental=incremental)
+    return routed.filter(
+        (F.col("bucket") == bucket) & (F.col("conv_id") == conv_id)
+    ).orderBy("turn_idx")
+
+
 def vacuum_uncommitted(
     spark, pipeline_base: str, min_age_seconds: int = 3600
 ) -> list[str]:

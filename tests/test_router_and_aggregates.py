@@ -216,3 +216,39 @@ def test_write_clusters_rows_for_rowgroup_skipping(parsed_10k, tmp_path):
         for c, ti in zip(convs, turns):
             assert last.get(c, -1) <= ti, f"turn_idx unsorted within {c}"
             last[c] = ti
+
+
+def test_read_conversation_point_read(spark, tmp_path):
+    """read_conversation returns exactly the conversation's rows in turn
+    order, and its plan prunes on the bucket partition column AND pushes
+    the conv_id equality to the parquet scan (row-group skipping over the
+    clustered layout)."""
+    from commerce_logs_pipeline_spark.operators.router import (
+        read_conversation,
+        read_routed,
+    )
+    from commerce_logs_pipeline_spark.plans.pipeline import run_pipeline
+    from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+    base = str(tmp_path / "out")
+    df = generate_transcripts(spark, 3_000, partitions=4)
+    run_pipeline(spark, df, base, run_id="full_point")
+
+    auth = read_routed(spark, base)
+    target, expected = (
+        auth.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    out = read_conversation(spark, base, target)
+    rows = out.collect()
+    assert len(rows) == expected > 0
+    assert all(r.conv_id == target for r in rows)
+    turns = [r.turn_idx for r in rows]
+    assert turns == sorted(turns)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # conv_id equality reached the parquet reader's pushed filters
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "conv_id" in pushed
+    # bucket resolves to a partition filter, not a post-scan filter
+    assert "bucket" in plan.split("PartitionFilters")[1][:400]
