@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample", type=int, default=1000)
     p.add_argument("--column", default="text")
 
+    c = sub.add_parser(
+        "conv", help="point-read one conversation (bucket-pruned, "
+        "row-group-skipping layout fast path)"
+    )
+    c.add_argument("--id", required=True, help="conv_id to fetch")
+    c.add_argument("--columns", default=None,
+                   help="comma-separated projection")
+
     pi = sub.add_parser("pii", help="PII pattern scan / redaction preview")
     pi.add_argument("--column", default="text")
     pi.add_argument("--redact", action="store_true",
@@ -117,6 +125,15 @@ def run(args, spark) -> int:
             df.select(F.col(args.column).alias("text")),
             sample_rows=args.sample,
         )
+        _emit(out, args.limit, args.json)
+    elif args.cmd == "conv":
+        from commerce_logs_pipeline_spark.operators.router import (
+            read_conversation,
+        )
+
+        out = read_conversation(spark, args.base, args.id)
+        if args.columns:
+            out = out.select(*[c.strip() for c in args.columns.split(",")])
         _emit(out, args.limit, args.json)
     elif args.cmd == "pii":
         from commerce_logs_pipeline_spark.functions.text import (

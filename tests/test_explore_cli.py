@@ -36,6 +36,21 @@ def test_explore_subcommands(spark, tmp_path, capsys):
 
         json.loads(out[0])  # JSON-lines contract holds
 
+    # conv point-read needs a real conv_id from the routed table
+    from commerce_logs_pipeline_spark.operators.router import read_routed
+
+    cid = read_routed(spark, base).select("conv_id").first()["conv_id"]
+    assert explore.main(
+        ["--base", base, "--json", "conv", "--id", cid,
+         "--columns", "conv_id,turn_idx,category"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out
+    import json
+
+    assert json.loads(out[0])["conv_id"] == cid
+
 
 def test_maintain_cli_roundtrip(spark, tmp_path, capsys):
     """maintain.py drives compact -> stats -> vacuum-superseded ->
