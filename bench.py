@@ -149,6 +149,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+    # registry-retired queries (driver window holds 50; oracle parity for
+    # these lives in tests/test_entry_queries.py) stay in the bench time
+    # series — resolve them straight from their functions
+    qs["shipping_priority_top10"] = E.q_shipping_priority
     qs.update(_prod_overrides())
     timings: dict[str, float] = {}
     # untimed JVM/codegen warm-up: one trivial scan-agg-write so the first

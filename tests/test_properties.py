@@ -219,3 +219,53 @@ def test_pii_patterns_portable_across_engines_property(spark, texts):
              EMAIL_RX, IPV4_RX, SSN_RX, CC_RX, PHONE_RX, t],
         ).fetchone()
         assert got[i] == tuple(row), (t, got[i], row)
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=60
+    ),
+    capacity=st.sampled_from([1, 64, 256]),
+    n_shards=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_pack_greedy_matches_reference_scan_property(
+    spark, tokens, capacity, n_shards
+):
+    """For ANY token-count multiset (zeros, oversize docs, capacity
+    boundary hits) the distributed applyInPandas scan must produce exactly
+    the assignments of a sequential reference implementation of the same
+    greedy first-fit over the same hash ordering."""
+    from commerce_logs_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    out = packing.pack_greedy(
+        df, "n_tokens", capacity=capacity, n_shards=n_shards,
+        seed=5, portable=True,
+    ).collect()
+
+    # reference: same portable hash, same ordering, plain Python scan
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for shard in range(n_shards):
+        docs = sorted(
+            ((h(i), i, t) for i, t in enumerate(tokens)
+             if h(i) % n_shards == shard),
+        )
+        pack, acc = -1, 0
+        for _, i, t in docs:
+            if pack < 0 or acc + t > capacity:
+                pack, pos, acc = pack + 1, 0, t
+            else:
+                pos, acc = pos + 1, acc + t
+            expected[i] = (shard, (shard << 40) + pack, pos, acc)
+
+    got = {r.doc_id: (r.shard, r.pack_id, r.pack_pos, r.pack_fill)
+           for r in out}
+    assert got == expected
