@@ -38,8 +38,6 @@ the same greedy scan) reproduces every pack assignment bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,4 +144,44 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.round(
             F.sum("fill") / (F.count("*") * F.lit(capacity)), 6
         ).alias("utilization"),
+    )
+
+
+def assemble_packs(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize ``pack_greedy`` assignments into training sequences:
+    one row per pack with its documents' text concatenated in pack_pos
+    order. The group-collect is safe at any scale because a pack is
+    capacity-bounded by construction (collect_list holds at most
+    capacity/min_doc_tokens short strings, never a whole partition);
+    the single shuffle hashes on (shard, pack_id) — uniform by the
+    hash-shuffle ordering, so no skew mitigation is needed."""
+    j = packed.join(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), text_col),
+        "doc_id",
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("pack_pos", F.col(text_col).alias("t")))
+    )
+    return (
+        j.groupBy("shard", "pack_id")
+        .agg(
+            parts.alias("_parts"),
+            F.max("pack_fill").alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_docs",
+            "n_tokens",
+            F.concat_ws(
+                sep, F.transform("_parts", lambda p: p["t"])
+            ).alias(text_col),
+        )
     )

@@ -226,3 +226,28 @@ def test_pack_stats_utilization(spark):
         r.n_packs for r in stats
     )
     assert overall > 0.7 * 256
+
+
+def test_assemble_packs_concatenates_in_order(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " * ((i * 37) % 20 + 1)) for i in range(300)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    packed = packing.pack_greedy(
+        docs, "n_tokens", capacity=64, n_shards=4, seed=11
+    )
+    out = packing.assemble_packs(docs, packed, sep="|")
+    rows = {r.pack_id: r for r in out.collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    asg = [(r.pack_id, r.pack_pos, r.doc_id, r.pack_fill)
+           for r in packed.collect()]
+    # every pack reconstructs exactly from its members in pack_pos order
+    by_pack = {}
+    for pid, pos, did, fill in sorted(asg):
+        by_pack.setdefault(pid, []).append((pos, did, fill))
+    assert set(by_pack) == set(rows)
+    for pid, members in by_pack.items():
+        expected_text = "|".join(texts[d] for _, d, _ in members)
+        assert rows[pid].text == expected_text
+        assert rows[pid].n_docs == len(members)
+        assert rows[pid].n_tokens == members[-1][2]  # final pack_fill
