@@ -87,3 +87,79 @@ def tfidf_topk(
         Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     )
     return top.select("doc_id", w_rank.alias("rank"), "term", "tf", "tfidf")
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int = 32768,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reserved: int = 1,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: the ``size`` most frequent
+    terms, ids assigned by (count desc, term asc) so the mapping is
+    deterministic for a given corpus. Ids start at ``reserved`` (0 stays
+    free for <unk> by default). Returns (term, token_id, n_occurrences).
+
+    One token-count shuffle + one global top-k; the ranking window runs
+    over at most ``size``-bounded survivors via a two-phase count
+    (partial per-partition counts combine map-side)."""
+    counts = (
+        _doc_terms(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    ranked = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(size)
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+            )
+            + F.lit(reserved - 1),
+        )
+    )
+    return ranked.select("term", "token_id", "n_occurrences")
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode each document's token stream into vocabulary ids — the
+    tokenize step between packing (operators/packing.py) and batch
+    writing. Out-of-vocabulary terms map to ``unk_id``.
+
+    Shape: posexplode the token array, broadcast-join the vocab (a
+    training vocabulary is broadcast-sized by construction: 32k-256k
+    short strings), then rebuild the sequence with an order-preserving
+    collect over (pos, id) structs. The per-token rows never carry text
+    beyond the term itself, and the rebuild shuffle is keyed by doc —
+    uniform, token-count-proportional, no skew beyond document length.
+
+    Returns (doc_id, n_tokens, token_ids array<int>).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("term", "token_id")),
+                       "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
+    )
+    seq = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    return (
+        mapped.groupBy("doc_id")
+        .agg(seq.alias("_seq"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.transform("_seq", lambda s: s["tid"]).alias("token_ids"),
+        )
+    )

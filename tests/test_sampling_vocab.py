@@ -251,3 +251,42 @@ def test_assemble_packs_concatenates_in_order(spark):
         assert rows[pid].text == expected_text
         assert rows[pid].n_docs == len(members)
         assert rows[pid].n_tokens == members[-1][2]  # final pack_fill
+
+
+# --- build_vocab / encode_docs ---------------------------------------------
+def _corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cat and dog and cat"),
+        (3, "completely novel unseen words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_vocab_deterministic_ranking(spark):
+    v = {r.term: (r.token_id, r.n_occurrences)
+         for r in vocab.build_vocab(_corpus(spark), size=5).collect()}
+    assert len(v) == 5
+    # "the" (4x) must be id 1 (reserved=1 leaves 0 for <unk>)
+    assert v["the"][0] == 1 and v["the"][1] == 4
+    # ties broken by term asc: and/cat/on/sat all appear; ids contiguous
+    assert sorted(tid for tid, _ in v.values()) == [1, 2, 3, 4, 5]
+
+
+def test_encode_docs_roundtrip_and_unk(spark):
+    docs = _corpus(spark)
+    v = vocab.build_vocab(docs, size=8)
+    enc = {r.doc_id: r for r in vocab.encode_docs(docs, v).collect()}
+    terms = {r.token_id: r.term for r in v.collect()}
+    # every doc encodes to exactly its token count, order preserved
+    assert enc[0].n_tokens == 6
+    decoded = [terms.get(t, "<unk>") for t in enc[0].token_ids]
+    assert decoded[0] == "the" and decoded[4] == "the"
+    assert "the cat sat on the mat".split()[1] == decoded[1] == "cat"
+    # doc 3 is entirely OOV at size=8? its rare terms may or may not fit;
+    # force a tiny vocab to guarantee unks
+    tiny = vocab.build_vocab(docs, size=2)
+    enc3 = {r.doc_id: r for r in vocab.encode_docs(docs, tiny).collect()}
+    assert 0 in enc3[3].token_ids  # unk_id present for OOV terms
+    assert all(t in (0, 1, 2) for r in enc3.values() for t in r.token_ids)
