@@ -103,3 +103,37 @@ def test_explore_keys_env_errors_when_column_absent(spark, tmp_path, capsys):
     run_pipeline(spark, generate_transcripts(spark, 500, partitions=2), base)
     with pytest.raises(SystemExit, match="no 'environment' column"):
         explore.main(["--base", base, "keys", "--env", "prod"], spark=spark)
+
+
+def test_assemble_cli_end_to_end(spark, tmp_path, capsys):
+    """jobs/assemble.py: curate -> dedup -> split -> pack -> encode over a
+    documents parquet; conservation (every survivor in exactly one pack of
+    its split) and output layout pinned."""
+    import json
+
+    import assemble
+
+    src = str(tmp_path / "docs")
+    spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('the quick document number ', id, ' has a body with "
+        "several plain words and item ', id % 17, ' appears here') AS text",
+        "concat('src', id % 3) AS source",
+    ).write.parquet(src)
+    out = str(tmp_path / "asm")
+    assert assemble.main_with_spark([
+        "--input", src, "--out", out, "--capacity", "32",
+        "--n-shards", "4", "--vocab-size", "50",
+    ], spark) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_docs"] == 200
+    assert 0 < summary["survivor_docs"] <= summary["curated_docs"] <= 200
+    assert summary["encoded_docs"] == summary["survivor_docs"]
+
+    from pyspark.sql import functions as F
+
+    asg = spark.read.parquet(f"{out}/assignments")
+    assert asg.count() == summary["survivor_docs"]
+    assert asg.select("doc_id").distinct().count() == asg.count()
+    packs = spark.read.parquet(f"{out}/packed")
+    assert packs.agg(F.sum("n_docs")).first()[0] == asg.count()
