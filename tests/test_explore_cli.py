@@ -137,3 +137,18 @@ def test_assemble_cli_end_to_end(spark, tmp_path, capsys):
     assert asg.select("doc_id").distinct().count() == asg.count()
     packs = spark.read.parquet(f"{out}/packed")
     assert packs.agg(F.sum("n_docs")).first()[0] == asg.count()
+
+    # decontamination branch: docs sharing a 13-gram with the benchmark
+    # never survive
+    bench = str(tmp_path / "bench")
+    spark.read.parquet(src).filter("doc_id % 50 = 0").select(
+        "text"
+    ).write.parquet(bench)
+    out2 = str(tmp_path / "asm2")
+    assert assemble.main_with_spark([
+        "--input", src, "--out", out2, "--capacity", "32",
+        "--n-shards", "4", "--benchmark", bench, "--no-encode",
+    ], spark) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["curated_docs"] < summary["curated_docs"]  # contaminated gone
+    assert s2["encoded_docs"] == 0  # --no-encode honored
