@@ -174,3 +174,35 @@ def test_dup_clusters_rounds_are_join_aggregate_only(spark):
         # 2^rounds-deep join tree
         assert plan.count("Scan ExistingRDD") >= 1
         assert len(plan.splitlines()) < 40
+
+
+def test_pack_greedy_single_shuffle_arrow_scan(spark):
+    """pack_greedy's physical plan: exactly ONE exchange (the shard hash
+    partition) feeding one Arrow FlatMapGroupsInPandas — no hidden extra
+    shuffle, no row-at-a-time Python."""
+    from commerce_logs_pipeline_spark.operators import packing
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "cast(id % 90 + 5 as long) AS n_tokens"
+    )
+    p = packing.pack_greedy(docs, "n_tokens", capacity=64, n_shards=4)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+
+def test_encode_docs_vocab_join_is_broadcast(spark):
+    """encode_docs joins the vocabulary by broadcast — the per-token
+    exploded frame must never sort-merge against a 32k-row dim table."""
+    from commerce_logs_pipeline_spark.operators import vocab
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma item', id % 9) AS text",
+    )
+    v = vocab.build_vocab(docs, size=10)
+    e = vocab.encode_docs(docs, v)
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
