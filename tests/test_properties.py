@@ -269,3 +269,57 @@ def test_pack_greedy_matches_reference_scan_property(
     got = {r.doc_id: (r.shard, r.pack_id, r.pack_pos, r.pack_fill)
            for r in out}
     assert got == expected
+
+
+ADVERSARIAL_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   \t\n "),
+    st.text(max_size=120),
+    # JSON-ish fragments: truncated objects, wrong types, deep quotes
+    st.sampled_from([
+        "{", "{}", '{"Logs":', '{"Logs": []}', '{"logs": 1}',
+        '{"Logs": [{"message": null}]}',
+        '{"thrown": {"message": "x"}}', '{"thrown": "plain string"}',
+        '{"contextMap": {"k": "v"}, "timeMillis": "not-a-number"}',
+        '{"timeMillis": -1, "level": "WEIRD"}',
+        'GET /path HTTP/1.1" 200 -',
+        '10.0.0.1 - - [32/Xxx/2024:99:99:99 +0000] "BAD',
+        '\x00\x01 binary junk \xff',
+        '{"Logs": [{"message": "' + "a" * 500 + '"}]}',
+    ]),
+)
+
+
+@given(texts=st.lists(ADVERSARIAL_TEXT, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_parse_is_total_and_conserving_property(spark, texts):
+    """The validation contract (P-J) under fuzz: for ANY text payload —
+    null, blank, binary junk, truncated/ill-typed JSON, oversized
+    messages — parse_transcripts must (a) never raise, (b) emit exactly
+    one output row per input row, and (c) give every row a non-null
+    category from the known set."""
+    from datetime import datetime
+
+    from commerce_logs_pipeline_spark.functions.parse import (
+        parse_transcripts,
+    )
+
+    rows = [
+        (f"c{i % 3}", i, "assistant", t, None, datetime(2024, 1, 1, 12, 0, i % 60))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = parse_transcripts(df).select("conv_id", "turn_idx", "category")
+    got = out.collect()
+    assert len(got) == len(rows)                     # conservation
+    assert {(r.conv_id, r.turn_idx) for r in got} == {
+        (r[0], r[1]) for r in rows
+    }
+    known = {"http", "app", "container", "proxy", "tool_call", "user_turn",
+             "assistant_turn", "error", "parse_error", "skipped"}
+    assert all(r.category in known for r in got)     # total categorization
