@@ -159,6 +159,45 @@ class ManifestStore:
             .select(*KEY, "run_id")
         )
 
+    def seal_partitions(
+        self, spark: SparkSession, before_day: str | None = None
+    ) -> list[tuple[str, int]]:
+        """Seal open partitions: append a pure status latch (closed, NULL
+        counts, no data directory) for every currently-open (day, bucket)
+        — all of them, or only days strictly before ``before_day``. The
+        streaming operational loop is: tail appends chunk runs -> seal
+        days that have ended -> compact_routed consolidates the sealed
+        partitions -> vacuum_superseded reclaims the chunks. Without
+        sealing, chunk-committed partitions stay open forever and are
+        never compactable (compact_routed only touches closed ones).
+
+        The latch never reopens, so sealing is idempotent; a seal event
+        carries NULL counts so fold_manifest's latest-wins run resolution
+        ignores it (batch reads keep resolving the last DATA run). Late
+        chunks arriving after the seal are the operator's contract to
+        avoid — batch resume anti-joins sealed partitions, and the
+        streaming writer appends regardless (the same close-latch
+        semantics as the reference's blob state processor).
+
+        Returns the (day, bucket) pairs sealed.
+        """
+        open_parts = self.current_state(spark).filter(
+            F.col("status") == "open"
+        )
+        if before_day is not None:
+            open_parts = open_parts.filter(F.col("day") < before_day)
+        todo = [(r["day"], r["bucket"]) for r in
+                open_parts.select(*KEY).collect()]
+        if not todo:
+            return []
+        run_id = f"seal{new_run_id()[:8]}"
+        events = spark.createDataFrame(
+            [(d, b, "closed", run_id) for d, b in todo],
+            "day string, bucket int, status string, run_id string",
+        ).withColumn("updated_at", F.current_timestamp())
+        self.append(events)
+        return todo
+
     def closed_partitions(self, spark: SparkSession) -> DataFrame:
         return self.current_state(spark).filter(F.col("status") == "closed").select(*KEY)
 
@@ -266,7 +305,15 @@ def fold_manifest(log: DataFrame) -> DataFrame:
         F.sum("rows_error").alias("rows_error"),
         F.min("first_processed_ts").alias("first_processed_ts"),
         F.max("last_processed_ts").alias("last_processed_ts"),
-        F.max_by("run_id", "updated_at").alias("run_id"),  # latest-wins meta
+        # latest-wins run meta over DATA-CARRYING events only: pure latch
+        # events (seal_partitions appends status=closed with NULL counts)
+        # must flip the status without hijacking the authoritative run_id
+        # — batch reads resolve rows by this run_id, and a seal run has
+        # no data directory. max_by skips rows whose ordering key is null.
+        F.max_by(
+            "run_id",
+            F.when(F.col("rows_processed").isNotNull(), F.col("updated_at")),
+        ).alias("run_id"),
         F.max("updated_at").alias("updated_at"),
     )
 

@@ -9,6 +9,7 @@ any Hadoop-FS URI scheme (file://, s3a://, hdfs://...).
         compact                      # consolidate closed chunk partitions
     ... vacuum-superseded --run-id compactXYZ    # reclaim replaced dirs
     ... vacuum-orphans [--min-age-hours 1]       # expire uncommitted runs
+    ... seal [--before-day 2024-01-02]           # close streamed chunk days
     ... stats [--incremental]                    # per-partition file stats
 """
 
@@ -39,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     vo.add_argument("--min-age-hours", type=float, default=1.0,
                     help="protect younger dirs (in-flight writers)")
 
+    se = sub.add_parser(
+        "seal", help="close open (streamed-chunk) partitions so compact "
+        "can consolidate them")
+    se.add_argument("--before-day", default=None,
+                    help="seal only days strictly before this (YYYY-MM-DD); "
+                    "omit to seal every open partition")
+
     st = sub.add_parser("stats", help="per-(day,bucket) rows/files/bytes")
     st.add_argument("--incremental", action="store_true")
     return ap
@@ -52,7 +60,17 @@ def run(args, spark) -> int:
         vacuum_uncommitted,
     )
 
-    if args.cmd == "compact":
+    if args.cmd == "seal":
+        from commerce_logs_pipeline_spark.plans.checkpoint import (
+            ManifestStore,
+        )
+
+        sealed = ManifestStore(f"{args.base}/_manifest").seal_partitions(
+            spark, before_day=args.before_day
+        )
+        out = {"sealed": len(sealed),
+               "partitions": [f"{d}/{b}" for d, b in sealed]}
+    elif args.cmd == "compact":
         out = compact_routed(spark, args.base, run_id=args.run_id)
     elif args.cmd == "vacuum-superseded":
         removed = vacuum_superseded(spark, args.base, args.run_id)

@@ -326,3 +326,67 @@ def test_maintenance_schedule_property(spark, tmp_path):
                 f"{len(got)} rows vs expected {len(want)}"
             )
         full.unpersist()
+
+
+def test_seal_partitions_latch_and_run_resolution(spark, tmp_path):
+    """seal_partitions closes open chunk partitions WITHOUT hijacking the
+    fold's authoritative run resolution (a seal event has no data dir);
+    sealing is idempotent and respects --before-day."""
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 2_000, partitions=4)
+    run_pipeline(spark, full, base, run_id="chunkA", close_partitions=False)
+
+    ms = ManifestStore(f"{base}/_manifest")
+    state0 = ms.current_state(spark)
+    assert state0.filter(F.col("status") == "open").count() > 0
+    days = sorted(r["day"] for r in state0.select("day").distinct().collect())
+    assert len(days) >= 2
+
+    # before_day seals only strictly-earlier days
+    sealed1 = ms.seal_partitions(spark, before_day=days[1])
+    assert sealed1 and all(d < days[1] for d, _ in sealed1)
+    st = ms.current_state(spark)
+    assert st.filter(
+        (F.col("day") >= days[1]) & (F.col("status") == "closed")
+    ).count() == 0
+
+    # full seal closes the rest; authoritative run_id stays the DATA run
+    sealed2 = ms.seal_partitions(spark)
+    assert sealed2
+    st = ms.current_state(spark)
+    assert st.filter(F.col("status") == "open").count() == 0
+    assert {r["run_id"] for r in st.select("run_id").collect()} == {"chunkA"}
+
+    # idempotent: nothing left to seal
+    assert ms.seal_partitions(spark) == []
+
+    # sealed chunks are now compactable and reads stay exact
+    before = sorted(map(tuple, read_routed(spark, base, incremental=True)
+                        .select(KEY_COLS).collect()))
+    rep = compact_routed(spark, base)
+    assert rep["partitions"] > 0
+    after = sorted(map(tuple, read_routed(spark, base).select(KEY_COLS)
+                       .collect()))
+    assert after == before
+
+
+def test_maintain_cli_seal(spark, tmp_path, capsys):
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import maintain
+
+    base = str(tmp_path / "out")
+    run_pipeline(spark, generate_transcripts(spark, 1_000, partitions=2),
+                 base, run_id="chunkZ", close_partitions=False)
+    assert maintain.main(["--base", base, "seal"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sealed"] > 0
+    assert maintain.main(["--base", base, "compact"], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["partitions"] > 0

@@ -361,3 +361,67 @@ def test_streaming_composed_e2e_with_restart(spark, tmp_path):
     )
     assert mism == 0
     all_rows.unpersist()
+
+
+def test_streaming_appends_interleaved_with_live_compaction(spark, tmp_path):
+    """LIVE writer + maintenance: stream half the input, run
+    compact_routed + vacuum_superseded while the stream is stopped
+    mid-data, stream the rest into the same table, compact again — the
+    authoritative incremental read must hold the exact input row set at
+    every step (the read-asof supersession ordering under a real
+    streaming writer, not just the manifest-level property test)."""
+    from commerce_logs_pipeline_spark.operators.router import (
+        compact_routed,
+        read_routed,
+        vacuum_superseded,
+    )
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+    from commerce_logs_pipeline_spark.synth import generate_transcripts
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full = generate_transcripts(spark, 3_000, partitions=4).cache()
+    keys = {(r.conv_id, r.turn_idx) for r in
+            full.select("conv_id", "turn_idx").collect()}
+
+    def routed_keys():
+        return {(r.conv_id, r.turn_idx) for r in
+                read_routed(spark, base, incremental=True)
+                .select("conv_id", "turn_idx").collect()}
+
+    # wave 1: first half arrives, stream drains it
+    full.filter(F.col("turn_idx") % 2 == 0).write.mode("overwrite").parquet(src)
+    q = run_streaming_pipeline(spark, src, base, ckpt, available_now=True)
+    q.awaitTermination(300)
+    half = {k for k in keys if k[1] % 2 == 0}
+    assert routed_keys() == half
+
+    # maintenance between waves: seal the streamed (open chunk) days so
+    # compaction can engage, then compact + vacuum
+    sealed = ManifestStore(f"{base}/_manifest").seal_partitions(spark)
+    assert sealed, "streamed chunk partitions should seal"
+    rep1 = compact_routed(spark, base)
+    assert rep1["partitions"] > 0, "sealed chunks must be compactable"
+    vacuum_superseded(spark, base, rep1["run_id"])
+    assert routed_keys() == half  # maintenance never changes the row set
+    # batch (non-incremental) read now also resolves the full half set:
+    # the compacted run is self-contained
+    batch_keys = {(r.conv_id, r.turn_idx) for r in
+                  read_routed(spark, base)
+                  .select("conv_id", "turn_idx").collect()}
+    assert batch_keys == half
+
+    # wave 2: rest of the data arrives as NEW files, stream resumes
+    full.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(src)
+    q2 = run_streaming_pipeline(spark, src, base, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert routed_keys() == keys  # compacted half + fresh chunks
+
+    # final maintenance consolidates everything; row set still exact
+    ManifestStore(f"{base}/_manifest").seal_partitions(spark)
+    rep2 = compact_routed(spark, base)
+    assert rep2["partitions"] > 0
+    vacuum_superseded(spark, base, rep2["run_id"])
+    assert routed_keys() == keys
+    full.unpersist()
