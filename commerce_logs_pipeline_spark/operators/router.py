@@ -214,7 +214,9 @@ def read_sink(spark, sink_path: str) -> DataFrame:
     return spark.read.option("basePath", base).parquet(sink_path)
 
 
-def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFrame:
+def read_routed(
+    spark, pipeline_base: str, incremental: bool = False, asof=None
+) -> DataFrame:
     """Authoritative snapshot read of the routed table — the reader-side
     half of the Iceberg-style commit protocol. Uncommitted run dirs
     (crashed before their manifest append) are never visible.
@@ -223,6 +225,10 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
       committed run's rows win — correct when runs own whole partitions
       (the resume anti-join guarantees disjointness; a forced reprocess
       supersedes the old snapshot).
+    - asof (datetime): TIME TRAVEL — resolve the snapshot a reader saw
+      at that instant (the Iceberg TIMESTAMP AS OF analog; an append-only
+      manifest makes this a filter on commit time). History reaches back
+      as far as vacuum has not yet reclaimed superseded run dirs.
     - incremental=True (streaming appends): rows of every VISIBLE
       committed run — chunk runs append disjoint row sets (batch_id-keyed
       run dirs make replays overwrite themselves, so no duplicates), and a
@@ -239,9 +245,11 @@ def read_routed(spark, pipeline_base: str, incremental: bool = False) -> DataFra
 
     manifest = ManifestStore(f"{pipeline_base}/_manifest")
     if incremental:
-        auth = manifest.visible_runs(spark)
+        auth = manifest.visible_runs(spark, asof=asof)
     else:
-        auth = manifest.current_state(spark).select("day", "bucket", "run_id")
+        auth = manifest.current_state(spark, asof=asof).select(
+            "day", "bucket", "run_id"
+        )
     triples = [
         f"{r['run_id']}\x1f{r['day']}\x1f{r['bucket']}" for r in auth.collect()
     ]

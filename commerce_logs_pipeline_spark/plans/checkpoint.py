@@ -89,9 +89,19 @@ class ManifestStore:
         except AnalysisException:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def current_state(self, spark: SparkSession) -> DataFrame:
-        """Fold the event log into latest state per (day, bucket)."""
-        return fold_manifest(self._read_log(spark))
+    def _log_asof(self, spark: SparkSession, asof=None) -> DataFrame:
+        """The event log, optionally truncated to commits at or before
+        ``asof`` — an append-only log makes time travel a filter."""
+        log = self._read_log(spark)
+        if asof is not None:
+            log = log.filter(F.col("updated_at") <= F.lit(asof))
+        return log
+
+    def current_state(self, spark: SparkSession, asof=None) -> DataFrame:
+        """Fold the event log into latest state per (day, bucket).
+        ``asof`` (datetime) folds only events committed at or before that
+        instant — the table state as a past reader saw it."""
+        return fold_manifest(self._log_asof(spark, asof))
 
     def committed_runs(self, spark: SparkSession) -> DataFrame:
         """Every committed (day, bucket, run_id) triple in the log —
@@ -99,7 +109,7 @@ class ManifestStore:
         want ``visible_runs``)."""
         return self._read_log(spark).select(*KEY, "run_id").dropDuplicates()
 
-    def visible_runs(self, spark: SparkSession) -> DataFrame:
+    def visible_runs(self, spark: SparkSession, asof=None) -> DataFrame:
         """(day, bucket, run_id) triples that together hold each
         partition's complete current row set, under the supersede
         convention: the LATEST self-contained run (``compact``/``full``
@@ -123,10 +133,16 @@ class ManifestStore:
         MAINTENANCE writers are still undefined (single maintenance
         writer at a time; normal chunk writers are safe).
 
+        ``asof`` (datetime) evaluates visibility against only the events
+        committed at or before that instant — snapshot time travel (the
+        Iceberg TIMESTAMP AS OF analog): runs committed later do not
+        exist, later anchors do not supersede, vacuumed-away history is
+        of course gone (retention = what vacuum has not yet reclaimed).
+
         Scale: manifest-sized frames throughout (one row per partition
         per run); the anchor join is broadcast."""
         per_run = (
-            self._read_log(spark)
+            self._log_asof(spark, asof)
             .groupBy(*KEY, "run_id")
             .agg(
                 F.max("updated_at").alias("_ts"),

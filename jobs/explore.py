@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--json", action="store_true", help="JSON lines output")
+    ap.add_argument("--asof", default=None,
+                    help="time-travel: ISO timestamp; read the snapshot "
+                    "visible at that instant (Iceberg TIMESTAMP AS OF)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     f = sub.add_parser("filter", help="arbitrary SQL expression filter (F6/F8)")
@@ -83,7 +86,12 @@ def run(args, spark) -> int:
         read_routed,
     )
 
-    df = read_routed(spark, args.base)
+    asof = None
+    if getattr(args, "asof", None):
+        from datetime import datetime
+
+        asof = datetime.fromisoformat(args.asof)
+    df = read_routed(spark, args.base, asof=asof)
     if args.cmd == "filter":
         out = df.filter(F.expr(args.expr))
         if args.columns:

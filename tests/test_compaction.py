@@ -390,3 +390,45 @@ def test_maintain_cli_seal(spark, tmp_path, capsys):
     assert maintain.main(["--base", base, "compact"], spark=spark) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["partitions"] > 0
+
+
+def test_read_routed_time_travel(spark, tmp_path):
+    """read_routed(asof=...) resolves the snapshot a reader saw at that
+    instant: chunk history accumulates, a later forced reprocess
+    supersedes only for readers at-or-after its commit, and asof=now
+    equals the current read (the Iceberg TIMESTAMP AS OF analog over the
+    append-only manifest)."""
+    from datetime import datetime, timezone
+
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 2_000, partitions=4)
+
+    run_pipeline(spark, full.filter(F.col("turn_idx") <= 1), base,
+                 run_id="chunk1", close_partitions=False)
+    t1 = datetime.now(timezone.utc)
+    n1 = read_routed(spark, base, incremental=True).count()
+
+    run_pipeline(spark, full, base, run_id="chunk2")
+    t2 = datetime.now(timezone.utc)
+
+    # forced reprocess supersedes everything before it
+    run_pipeline(spark, full, base, run_id="full3", resume=False)
+
+    # asof t1: only chunk1's rows exist
+    at1 = read_routed(spark, base, incremental=True, asof=t1)
+    assert at1.count() == n1
+    assert {r["runid"] for r in at1.select("runid").distinct().collect()} \
+        == {"chunk1"}
+    # asof t2: both chunks, no supersession yet
+    at2 = read_routed(spark, base, incremental=True, asof=t2)
+    assert at2.count() == 2_000
+    assert {r["runid"] for r in at2.select("runid").distinct().collect()} \
+        == {"chunk1", "chunk2"}
+    # asof now == current read: the full3 snapshot only
+    now = datetime.now(timezone.utc)
+    atn = read_routed(spark, base, incremental=True, asof=now)
+    assert atn.count() == 2_000
+    assert {r["runid"] for r in atn.select("runid").distinct().collect()} \
+        == {"full3"}
+    # batch mode honors asof too
+    assert read_routed(spark, base, asof=t1).count() == n1
