@@ -432,3 +432,25 @@ def test_read_routed_time_travel(spark, tmp_path):
         == {"full3"}
     # batch mode honors asof too
     assert read_routed(spark, base, asof=t1).count() == n1
+
+
+def test_sealed_partitions_are_skipped_by_batch_resume(spark, tmp_path):
+    """The seal contract: once sealed, a partition accepts no more batch
+    resume appends — late rows for sealed days are anti-joined away
+    exactly like reference-closed blobs, and the authoritative row set
+    stays what was committed before the seal."""
+    from commerce_logs_pipeline_spark.plans.checkpoint import ManifestStore
+
+    base = str(tmp_path / "out")
+    full = generate_transcripts(spark, 2_000, partitions=4)
+    early = full.filter(F.col("turn_idx") <= 1)
+    run_pipeline(spark, early, base, run_id="chunkA", close_partitions=False)
+    n_early = early.count()
+
+    ManifestStore(f"{base}/_manifest").seal_partitions(spark)
+
+    # resume over the FULL input: every (day,bucket) is sealed, so the
+    # run processes nothing new
+    rep = run_pipeline(spark, full, base, run_id="chunkB")
+    assert rep.rows_in == 0
+    assert read_routed(spark, base, incremental=True).count() == n_early
