@@ -290,3 +290,35 @@ def test_encode_docs_roundtrip_and_unk(spark):
     enc3 = {r.doc_id: r for r in vocab.encode_docs(docs, tiny).collect()}
     assert 0 in enc3[3].token_ids  # unk_id present for OOV terms
     assert all(t in (0, 1, 2) for r in enc3.values() for t in r.token_ids)
+
+
+def test_assemble_packs_matches_duckdb_string_agg(spark):
+    """Engine-independent assembly parity: DuckDB's
+    string_agg(text ORDER BY pack_pos) over the SAME pack assignments
+    must reproduce every assembled sequence byte-for-byte."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * (i % 9 + 1)) for i in range(400)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    packed = packing.pack_greedy(
+        docs, "n_tokens", capacity=40, n_shards=4, seed=21
+    )
+    got = {
+        (r.shard, r.pack_id): (r.text, r.n_docs)
+        for r in packing.assemble_packs(docs, packed, sep="|").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id", "text").toPandas())
+    con.register("asg", packed.toPandas())
+    oracle = con.execute("""
+        SELECT a.shard, a.pack_id,
+               string_agg(d.text, '|' ORDER BY a.pack_pos) AS text,
+               count(*) AS n_docs
+        FROM asg a JOIN docs d USING (doc_id)
+        GROUP BY a.shard, a.pack_id
+    """).fetchall()
+    exp = {(r[0], r[1]): (r[2], r[3]) for r in oracle}
+    assert got == exp
