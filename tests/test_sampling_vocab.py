@@ -322,3 +322,37 @@ def test_assemble_packs_matches_duckdb_string_agg(spark):
     """).fetchall()
     exp = {(r[0], r[1]): (r[2], r[3]) for r in oracle}
     assert got == exp
+
+
+def test_encode_docs_matches_duckdb(spark):
+    """Engine-independent encoding parity: DuckDB re-derives the token-id
+    sequences from the SAME vocabulary with unnest + ordered list agg —
+    order preservation and OOV->unk must match exactly."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 13} gamma w{(i * 7) % 13}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    v = vocab.build_vocab(docs, size=9)
+    got = {r.doc_id: (r.n_tokens, r.token_ids)
+           for r in vocab.encode_docs(docs, v).collect()}
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    con.register("vocab", v.toPandas())
+    oracle = con.execute("""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS term,
+                   generate_subscripts(string_split_regex(trim(lower(text)),
+                                                          '\\s+'), 1) AS pos
+            FROM docs
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+               list(coalesce(v.token_id, 0) ORDER BY t.pos) AS ids
+        FROM toks t LEFT JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    """).fetchall()
+    exp = {r[0]: (r[1], r[2]) for r in oracle}
+    assert got == exp
