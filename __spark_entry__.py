@@ -627,9 +627,36 @@ _SQL_SCORES = ",\n       ".join(
 
 
 def q_lang_id(spark, sf):
+    # Tokenize-once shape (r6): TX.lang_id re-tokenizes inside each of
+    # the 4 marker scores and references every score twice (greatest +
+    # CASE) — ~8 tokenizer/filter subtree evaluations per row outside
+    # codegen CSE. Here the token array and the 4 scores are materialized
+    # as their own (multi-referenced, collapse-surviving) columns, so the
+    # tokenizer runs once and each score once; the decision tree is the
+    # same greatest + priority CASE, so `detected` is value-identical.
     d = _t(spark, sf, "documents")
+    toksd = d.select(
+        "lang", TX.tokens(F.lower(F.col("text"))).alias("_tl")
+    )
+    def _score(marr):
+        # one-arg lambda: F.filter dispatches on arity (2 args = element,
+        # index), so the marker array must be captured by closure
+        return F.size(
+            F.filter(F.col("_tl"), lambda t: F.array_contains(marr, t))
+        )
+
+    score_cols = []
+    for lang in TX.LANG_PRIORITY:
+        marr = F.array(*[F.lit(m) for m in TX.LANG_MARKERS[lang]])
+        score_cols.append(_score(marr).alias(f"_s_{lang}"))
+    scored = toksd.select("lang", *score_cols)
+    m = F.greatest(*[F.col(f"_s_{lang}") for lang in TX.LANG_PRIORITY])
+    out = F.lit("und")
+    for lang in reversed(TX.LANG_PRIORITY):
+        out = F.when(F.col(f"_s_{lang}") == m, F.lit(lang)).otherwise(out)
+    detected = F.when(m == 0, F.lit("und")).otherwise(out)
     return (
-        d.withColumn("detected", TX.lang_id(F.col("text")))
+        scored.select("lang", detected.alias("detected"))
         .groupBy("lang", "detected")
         .agg(F.count("*").alias("n"))
     )
@@ -656,13 +683,59 @@ _SQL_SW = "['the','a','an','and','or','of','to','in','is','it','that']"
 
 
 def q_doc_quality(spark, sf):
+    # Tokenize-once shape (r6): the original composed TX.quality_score on
+    # top of the three displayed features, re-running the tokenizer and
+    # both ratio subtrees (higher-order filters are outside codegen CSE).
+    # Here every raw feature is computed in ONE projection and both the
+    # rounded display value and the threshold test read the alias —
+    # multi-referenced non-trivial aliases survive CollapseProject, so
+    # each feature evaluates once per row. Values are identical: same
+    # formulas, same rounding, thresholds on the same raw doubles.
     d = _t(spark, sf, "documents")
-    return d.select(
+    sw = F.array(*[F.lit(s) for s in TX.STOPWORDS_EN])
+    toks = TX.tokens(F.lower(F.col("text")))
+    praw = F.when(
+        F.length("text") > 0,
+        (F.length("text")
+         - F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    # _tl is referenced three times below (stopword filter, two sizes), so
+    # CollapseProject keeps it materialized — the tokenizer runs once per
+    # row. n_tokens reads the same array: lower() never changes the
+    # whitespace split, so size(tokens(lower(text))) == size(tokens(text))
+    # (and the DuckDB oracle tokenizes the lowered text anyway).
+    feat = (
+        d.select("doc_id", "text", toks.alias("_tl"))
+        .select(
+            "doc_id",
+            F.size("_tl").alias("_n"),
+            praw.alias("_praw"),
+            F.size(
+                F.filter(F.col("_tl"), lambda t: F.array_contains(sw, t))
+            ).alias("_nsw"),
+        )
+        .select(
+            "doc_id",
+            "_n",
+            "_praw",
+            F.when(F.col("_n") > 0, F.col("_nsw") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("_swraw"),
+        )
+    )
+    return feat.select(
         "doc_id",
-        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(TX.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        F.round(TX.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
-        F.round(TX.quality_score(F.col("text")), 2).alias("quality"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round("_praw", 4).alias("punct_ratio"),
+        F.round("_swraw", 4).alias("stopword_ratio"),
+        F.round(
+            F.when((F.col("_n") >= 10) & (F.col("_n") <= 100_000), F.lit(0.4))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("_praw") < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(F.col("_swraw") > 0.05, F.lit(0.3)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("quality"),
     )
 
 

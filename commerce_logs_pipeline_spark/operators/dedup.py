@@ -179,6 +179,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    jumps_per_round: int = 3,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id), with
     cluster_id = MIN member id — the canonical survivor for
@@ -186,39 +187,58 @@ def dup_clusters(
     generator in this module: pairs say "these two match", clusters say
     "keep doc X, drop the rest").
 
-    Distributed min-label propagation WITH pointer jumping: each round
-    takes the per-vertex min over self + neighbors' labels (hash-min,
-    one edges-vs-labels shuffle join) + label(label(v)) (pointer
-    jumping, one labels self-join — label frames are vertex-sized).
-    Hash-min alone converges in O(component diameter) rounds, which is
-    NOT a safe bound for real near-dup graphs: templated corpora chain
-    into giant components (sf0.1 simhash: one 2657-vertex component
-    whose diameter exceeds 20 — plain hash-min exhausted
-    max_iterations and, pre-r5, silently returned split labels).
-    Pointer jumping doubles the compressed path length per round, so
-    convergence is O(log diameter) — 8 rounds on that same graph; the
-    default max_iterations=20 covers diameter ~2^19.
+    Distributed min-label propagation WITH multi-level pointer jumping:
+    each round takes the per-vertex min over self + neighbors' labels
+    (hash-min, one edges-vs-labels shuffle join) + a chained pointer
+    jump label^(k+1)(v) (``jumps_per_round`` label self-joins — label
+    frames are vertex-sized and checkpointed, so each extra jump is one
+    cheap equi-join next to the edge join). Hash-min alone converges in
+    O(component diameter) rounds, which is NOT a safe bound for real
+    near-dup graphs: templated corpora chain into giant components
+    (sf0.1 simhash: one 2657-vertex component whose diameter exceeds 20
+    — plain hash-min exhausted max_iterations and, pre-r5, silently
+    returned split labels). One jump per round doubles the compressed
+    path length (O(log2 d) rounds — 8 on that same graph); chaining
+    ``jumps_per_round`` jumps multiplies it by (jumps+1) per round, so
+    rounds fall to O(log_{jumps+1} d) — measured 9 -> 4 rounds at sf0.1
+    (r6) — while the expensive edges-vs-labels join runs once per ROUND,
+    not per jump: fewer rounds = strictly fewer edge shuffles at scale,
+    and fewer driver round-trips locally. The default max_iterations=20
+    covers diameter ~4^20.
+
     Convergence is detected via the label-sum invariant (labels only
-    ever decrease, so an unchanged sum means a fixed point) — one scalar
-    aggregate per round, no row-level comparison join; exhausting
-    max_iterations without the fixpoint raises instead of returning
-    partial clusters.
+    ever decrease, so an unchanged sum means a fixed point), attached to
+    the round's checkpoint job as an OBSERVED metric — zero extra jobs
+    per round (r6; previously a separate scalar collect per round).
+    Exhausting max_iterations without the fixpoint raises instead of
+    returning partial clusters.
 
     ``all_ids`` (one id column) adds singleton vertices so every document
     receives a cluster row.
 
-    Lineage: each round's label frame references the previous round twice
-    (neighbor join + self union), so the LOGICAL plan would double per
-    round — 20 rounds of plan growth OOMs the driver before a byte of
-    data moves. Every round therefore cuts lineage with an eager
-    localCheckpoint; dropping the previous round's reference lets
-    Spark's ContextCleaner reclaim its blocks.
+    Lineage: each round's label frame references the previous round
+    several times (neighbor join + jump chain + self union), so the
+    LOGICAL plan would grow geometrically — 20 rounds of plan growth
+    OOMs the driver before a byte of data moves. Every round therefore
+    cuts lineage with an eager localCheckpoint; dropping the previous
+    round's reference lets Spark's ContextCleaner reclaim its blocks.
+    ``edges`` is likewise checkpointed (r6; previously persist-only):
+    the logical plan of a persisted frame is still the WHOLE upstream
+    pair generator, which the driver re-analyzes for every job of every
+    round — the checkpoint makes each round's plan O(round), not
+    O(pair-generator), cutting the driver-side planning gap that
+    dominated the local profile (81 jobs -> ~30).
     """
+    from pyspark.sql import Observation
+
+    # decimal sum: overflow-proof convergence invariant at any id scale
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
     # symmetrize via explode, NOT a self-union: a union references the
     # ``pairs`` plan twice, and plan-tree references re-execute — the
     # whole upstream pair generator (LSH banding, simhash blocks) would
     # run twice just to flip edge direction
-    edges = _persist(
+    edges = (
         pairs.select(
             F.explode(
                 F.array(
@@ -230,7 +250,9 @@ def dup_clusters(
                     ),
                 )
             ).alias("_e")
-        ).select("_e.src", "_e.dst")
+        )
+        .select("_e.src", "_e.dst")
+        .localCheckpoint(eager=True)
     )
     # iterate ONLY over vertices that appear in a pair — singletons can
     # never change label, so carrying them through every round's
@@ -240,53 +262,50 @@ def dup_clusters(
     # its own id, the first propagation is label(v) = min(v, min
     # neighbor id) — a single groupBy over the edge list, no join and no
     # separate init frame to checkpoint (saves one full round of
-    # join+shuffle+checkpoint+collect; cliques land on their final label
+    # join+shuffle+checkpoint; cliques land on their final label
     # immediately and pay only the one verification round below)
+    init_obs = Observation()
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_mn"))
         .select("id", F.least(F.col("id"), F.col("_mn")).alias("label"))
+        .observe(init_obs, _sum)
         .localCheckpoint(eager=True)
     )
-    # decimal sum: overflow-proof convergence invariant at any id scale
-    def label_sum(frame: DataFrame):
-        return frame.select(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = label_sum(labels)
+    prev_sum = init_obs.get["s"]
     converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), on="src")
             .select(F.col("dst").alias("id"), "label")
         )
-        # pointer jumping: label(label(v)). label(v) is always a pair-
-        # vertex id in the same component, so it is a key of ``labels``
-        # and the inner join loses nothing (the self union below keeps
-        # every vertex regardless)
-        jump = (
-            labels.join(
+        # chained pointer jumping: label^(k+1)(v). Every label value is
+        # a pair-vertex id in the same component, so it is a key of
+        # ``labels`` and each inner join in the chain loses nothing (the
+        # self union below keeps every vertex regardless). ``labels`` is
+        # checkpointed, so the chain is k cheap vertex-sized equi-joins
+        # in ONE plan — no intermediate materialization.
+        jump = labels
+        for _j in range(max(1, jumps_per_round)):
+            jump = jump.join(
                 labels.select(
                     F.col("id").alias("label"), F.col("label").alias("_jl")
                 ),
                 on="label",
-            )
-            .select("id", F.col("_jl").alias("label"))
-        )
+            ).select("id", F.col("_jl").alias("label"))
+        obs = Observation()
         labels = (
             nbr.union(jump)
             .union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .observe(obs, _sum)
             .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so an unchanged decimal sum proves
-        # the fixpoint; the collect is a one-stage scalar over the
-        # just-checkpointed frame (cheap next to the round's shuffle —
-        # an every-2nd-round check was tried and trades this collect for
-        # up to two EXTRA join rounds, a strictly worse exchange)
-        new_sum = label_sum(labels)
+        # the fixpoint; the sum rides the checkpoint job as an observed
+        # metric — no per-round collect, no extra scan
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             converged = True
             break

@@ -70,7 +70,20 @@ def tfidf_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    scored = tf.join(doc_frequency(docs, text_col, id_col), "term").select(
+    # ONE corpus scan (r6): df is derivable from the TF frame for free —
+    # tf holds exactly one row per (doc, term), so tf.groupBy(term).count()
+    # IS the distinct-doc count. The second tokenize+explode pass
+    # (doc_frequency) re-scanned the most expensive column (text) for the
+    # same number. tf is materialized (eager localCheckpoint — exchange
+    # reuse between the two consumers was measured NOT to fire under AQE
+    # here) so text is scanned+tokenized exactly once and both consumers
+    # read the narrow (doc_id, term, tf) rows. Trade-off: a lost executor
+    # loses checkpoint blocks (no lineage) — at cluster scale prefer a
+    # reliable checkpoint dir or accept the rerun, both cheaper than
+    # re-tokenizing the text corpus per consumer.
+    tf = tf.localCheckpoint(eager=True)
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    scored = tf.join(df_counts, "term").select(
         "doc_id",
         "term",
         "tf",

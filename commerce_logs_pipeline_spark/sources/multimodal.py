@@ -246,7 +246,15 @@ def extract_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (bytes from repeatable md5
-    stream; no external data)."""
+    stream; no external data).
+
+    Partitioning is sized to the row count (r6): a driver-local relation
+    otherwise parallelizes to one row per core, and every downstream
+    mapInPandas branch then launches a Python task per ROW — for the
+    96-row fixture that was 3 branches x 32 one-row Arrow tasks. One
+    slice per 32 rows keeps the same results with ~1/30th the Python
+    task launches; real media tables are file-backed scans and never hit
+    this path."""
     rows = []
     for i in range(n):
         h = hashlib.md5(f"media-{i}".encode()).digest()
@@ -262,4 +270,7 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                 int(3000 + i * 17) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
