@@ -1703,7 +1703,16 @@ def _transcripts(spark, n=_TN):
     # generator expression, and projection collapse would otherwise inline
     # it into EVERY parse column that reads text (measured 4x re-synthesis
     # on the tool-rate query). Real deployments read text from storage.
-    return generate_transcripts(spark, n, portable=True).localCheckpoint()
+    # The explicit repartition matters (r6): the generator ends in a
+    # window shuffle whose output AQE coalesces to ONE partition at this
+    # row count, and localCheckpoint freezes that layout — every
+    # downstream parse then ran single-threaded (measured 1.2 s + 0.9 s
+    # one-task parse stages). Spread the checkpoint across the cores.
+    return (
+        generate_transcripts(spark, n, portable=True)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
 
 def _pm(salt: int, expr: str = "i") -> str:
@@ -2061,10 +2070,21 @@ def q_selector_classify(spark, sf):
             F.format_string("%s.%s_%s_%s-%s.gz", date, pod, ns, container, cid)
         )
     )
+    # Parse-once shape (r6): materialize the blob name and its parsed
+    # struct as real columns before classifying — classify_blob over an
+    # inline expression re-expands the md5 synth + parse subtree for
+    # every one of the registry's ~25 field references (measured ~2.9 s
+    # of driver-side analysis+codegen for 0.4 s of execution).
+    from commerce_logs_pipeline_spark.functions.selectors import (
+        classify_parsed,
+        parse_blob_name,
+    )
+
     return (
         df.select(blob.alias("blob_name"))
+        .select("blob_name", parse_blob_name(F.col("blob_name")).alias("_p"))
         .select(
-            F.coalesce(classify_blob(F.col("blob_name")), F.lit("unmatched"))
+            F.coalesce(classify_parsed(F.col("_p")), F.lit("unmatched"))
             .alias("selector")
         )
         .groupBy("selector")

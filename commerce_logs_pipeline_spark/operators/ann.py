@@ -329,20 +329,31 @@ def train_ivf_centroids(
     turns ivf_topk's deterministic data-sampled centroids into trained
     ones (lower quantization error => higher recall at equal nprobe).
 
-    Each iteration is ONE distributed job: Arrow-batched numpy matmul
-    assignment (centroid matrix in the UDF closure — same kernel as
-    ivf_topk's production path), then a per-cell mean via a map-side
-    combinable hash aggregate of per-dimension sums: shuffle volume is
-    O(tasks * n_cells) rows of dim+1 columns, never O(corpus). The
-    driver only ever holds the n_cells x dim centroid matrix. Empty
-    cells keep their previous centroid (standard Lloyd convention).
+    Each iteration is ONE distributed job: an Arrow ``mapInPandas`` pass
+    does the numpy matmul assignment (centroid matrix in the closure —
+    same kernel as ivf_topk's production path) AND accumulates the
+    per-cell (count, per-dimension sum) partials across every batch of
+    its task, emitting at most n_cells rows per TASK (r6; previously the
+    per-row cell ids crossed back into the JVM and a 64-column hash
+    aggregate reduced them — the JVM re-walked every vector element via
+    element_at and the plan carried dim SUM expressions, seconds of
+    analysis+codegen per iteration). The driver merges the task partials
+    (tasks x n_cells rows — metadata-sized, same class as the existing
+    centroid collects) and never holds more than the n_cells x dim
+    matrix. Empty cells keep their previous centroid (standard Lloyd
+    convention).
 
-    Deterministic end to end: init defaults to the same
-    n_cells-smallest-id sample ivf_topk uses, assignment ties break on
-    the lower cell id (argmin), and the mean is a plain sum/count.
+    Deterministic init and assignment: init defaults to the same
+    n_cells-smallest-id sample ivf_topk uses and ties break on the lower
+    cell id (argmin). Per-cell sums are floating-point adds whose order
+    follows task/batch order — exactly as order-undefined as the prior
+    JVM hash aggregate (double addition was never associative-stable
+    across partitionings in either form).
     Intended use at scale: train once offline on a sample or the full
     corpus, persist the centroid list, pass it to ivf_topk(centroids=).
     """
+    from collections.abc import Iterator
+
     if init is None:
         rows = (
             corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
@@ -352,30 +363,39 @@ def train_ivf_centroids(
     else:
         C = np.array([c for _, c in init], dtype=np.float64)
     dim = C.shape[1]
+    n = len(C)
     vecs = corpus.select(F.col(vec_col).alias("_v"))
+    schema = "cell int, n long, sums array<double>"
     for _ in range(iterations):
         Cb, cc = C, (C * C).sum(axis=1)
 
-        @pandas_udf("int")
-        def nearest(s: pd.Series) -> pd.Series:
-            M = np.stack(s.to_numpy())
-            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ Cb.T) + cc[None, :]
-            return pd.Series(d2.argmin(1).astype("int32"))
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            counts = np.zeros(n, dtype=np.int64)
+            sums = np.zeros((n, dim), dtype=np.float64)
+            for pdf in it:
+                M = np.stack(pdf["_v"].to_numpy())
+                d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ Cb.T) + cc[None, :]
+                cells = d2.argmin(1)
+                counts += np.bincount(cells, minlength=n)
+                np.add.at(sums, cells, M)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int32"),
+                    "n": counts[hit],
+                    "sums": [sums[i] for i in hit],
+                }
+            )
 
-        stats = (
-            vecs.withColumn("cell", nearest(F.col("_v")))
-            .groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        C = C.copy()
+        stats = vecs.mapInPandas(partials, schema).collect()
+        counts = np.zeros(n, dtype=np.int64)
+        sums = np.zeros((n, dim), dtype=np.float64)
         for r in stats:
-            C[r["cell"]] = (
-                np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
-            )
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["sums"])
+        C = C.copy()
+        for i in np.flatnonzero(counts):
+            C[i] = sums[i] / counts[i]
     return [(i, [float(x) for x in C[i]]) for i in range(len(C))]
 
 

@@ -101,6 +101,39 @@ def _spread(df: DataFrame) -> DataFrame:
     )
 
 
+def _pin(pred: "Column") -> "Column":
+    """``pred`` OR a never-true nondeterministic arm — value-identical to
+    ``pred``, but the disjunction cannot be split into conjuncts and a
+    nondeterministic predicate is never moved, so the filter stays WHERE
+    IT IS WRITTEN. (An AND-ed nondeterministic barrier is NOT enough:
+    pushdown through Repartition pushes every deterministic conjunct
+    regardless of position.) Used on the token-count gates below, whose
+    predicate reads a materialized token array — pushed down, the
+    predicate is substituted through the projection AND through the
+    _spread exchange into the parquet scan, where (a) the whole corpus
+    is re-tokenized a second time just for the gate and (b) that
+    tokenize runs on the scan's task count (ONE task for a single-file
+    input: measured as the 2-second single-task scan stages in the r6
+    ngram/simhash profiles)."""
+    return pred | (F.spark_partition_id() < 0)
+
+
+def _join_parallelism(df: DataFrame) -> int:
+    """Partition count for the candidate-generating self-joins: at least
+    one per core, or the session's shuffle side-width if larger (the
+    cluster-sized knob). Used as an EXPLICIT repartition count because
+    AQE sizes post-shuffle partitions by input BYTES, and these joins are
+    output-amplifying: a few MB of (key, id) rows fan out into bucket^2
+    candidate pairs, so byte-based coalescing serializes the most
+    CPU-intensive stage of the operator onto one task (measured: the two
+    2-second single-task join stages in the r6 ngram profile)."""
+    spark = df.sparkSession
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+
+
 def _shingled(
     df: DataFrame, text_col: str, id_col: str, k: int, hashed: bool = False
 ) -> DataFrame:
@@ -123,7 +156,10 @@ def _shingled(
     # the token array is no longer an attribute, so each per-element
     # element_at/slice re-evaluates the tokenizer subtree: an O(n^2)
     # filter evaluated on every row (measured 2.6x the whole operator).
-    base = base.filter(F.size("_toks") >= k)
+    # _pin keeps the gate HERE: without it the predicate is pushed below
+    # the _spread exchange into the scan, re-tokenizing the corpus
+    # single-threaded (r6).
+    base = base.filter(_pin(F.size("_toks") >= k))
     if hashed:
         from ..functions.text import (
             hashed_shingles_from_hashed_tokens,
@@ -379,8 +415,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("bn") > max_bucket)
         .select("shingle")
     )
+    # hash-partition the surviving index by the join key BEFORE persisting
+    # (r6): the self-join below then reads co-partitioned cache on BOTH
+    # sides — zero join exchanges instead of two — and the explicit count
+    # keeps the output-amplifying join at full width where AQE's
+    # byte-based coalescing would serialize it (see _join_parallelism)
     surv = _persist(  # feeds sizes + both join sides
         exploded.join(hot, on="shingle", how="left_anti")
+        .repartition(_join_parallelism(df), "shingle")
     )
     # per-doc sizes over the surviving universe (tiny frame: one row/doc)
     n_filtered = surv.groupBy("id").agg(F.count("*").alias("n"))
@@ -524,7 +566,7 @@ def simhash_dups(
     toks = _spread(df).select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
-    ).filter(F.size("_toks") > 0)
+    ).filter(_pin(F.size("_toks") > 0))  # see _pin
     fp = _persist(  # 16 bytes/doc; feeds 4 subtrees
         with_simhash(toks, F.col("_toks"), out="fp", portable=portable)
         .select("id", "fp")
