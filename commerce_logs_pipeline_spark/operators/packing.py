@@ -22,13 +22,13 @@ next document would overflow" packing used for LLM pretraining batches):
   to drop oversize docs).
 
 Scale posture (100 TB): the only shuffle is the hash-partition by shard;
-the per-shard scan is O(rows) with O(1) state inside an Arrow-batched
-``applyInPandas``. Shards are the unit of parallelism AND of executor
-memory — choose ``n_shards`` so a shard's (id, tokens) pairs fit
-comfortably in one task (~10^7 rows per shard is fine; the scan only
-touches two int columns, not the text). Pack ids are globalized as
-``shard * 2^40 + local_pack`` so they are unique without any driver-side
-coordination or second pass.
+the per-shard scan is O(rows) with O(1) state carried across Arrow
+batches inside ``mapInPandas`` (r6 — previously ``applyInPandas``
+materialized a whole shard per task, a per-task OOM cliff when
+``n_shards`` under-estimated the corpus; now memory is bounded by the
+Arrow batch size regardless of shard size). Shards remain the unit of
+parallelism; pack ids are globalized as ``shard * 2^40 + local_pack`` so
+they are unique without any driver-side coordination or second pass.
 
 Hash families follow operators/sampling.py: xxhash64 in production,
 ``portable=True`` switches to the md5-derived 60-bit family so an
@@ -98,34 +98,60 @@ def pack_greedy(
         F.col(tokens_col).cast("long").alias("n_tokens"),
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one shard per call: deterministic order, O(1)-state greedy scan
-        pdf = pdf.sort_values(["_ord", "doc_id"]).reset_index(drop=True)
-        shard = int(pdf["shard"].iloc[0])
-        base = shard << _PACK_SHARD_SHIFT
-        pack, pos, acc = -1, 0, 0
-        packs, poss, fills = [], [], []
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if pack < 0 or acc + t > capacity:
-                pack, pos, acc = pack + 1, 0, t
-            else:
-                pos, acc = pos + 1, acc + t
-            packs.append(base + pack)
-            poss.append(pos)
-            fills.append(acc)
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "shard": shard,
-                "pack_id": packs,
-                "pack_pos": poss,
-                "n_tokens": pdf["n_tokens"],
-                "pack_fill": fills,
-            }
-        )
+    # Bounded-memory scan (r6): hash-partition by shard + in-partition
+    # sort + a mapInPandas that streams Arrow batches carrying O(1)
+    # (pack, pos, acc) state across batch and shard boundaries. The
+    # previous groupBy().applyInPandas loaded a WHOLE shard's rows into
+    # one pandas frame, making a mis-sized ``n_shards`` a per-task OOM
+    # cliff at corpus scale; this shape keeps the same single shuffle and
+    # the same deterministic (shard, _ord, doc_id) scan order — pack
+    # assignments are bit-identical (pinned by the sequential-reference
+    # property test) — with memory bounded by the Arrow batch size.
+    # Several shards may hash into one partition (and some partitions may
+    # be empty): rows arrive shard-contiguous because shard leads the
+    # sort key, so state resets at each shard transition.
+    from collections.abc import Iterator
 
-    return slim.groupBy("shard").applyInPandas(scan, schema=_pack_schema())
+    def scan_stream(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_shard = None
+        pack, pos, acc = -1, 0, 0
+        for pdf in it:
+            n = len(pdf)
+            shards = pdf["shard"].to_numpy()
+            toks = pdf["n_tokens"].to_numpy()
+            packs = [0] * n
+            poss = [0] * n
+            fills = [0] * n
+            for i in range(n):
+                s = int(shards[i])
+                t = int(toks[i])
+                if s != cur_shard:
+                    cur_shard, pack, pos, acc = s, -1, 0, 0
+                if pack < 0 or acc + t > capacity:
+                    pack, pos, acc = pack + 1, 0, t
+                else:
+                    pos, acc = pos + 1, acc + t
+                packs[i] = (s << _PACK_SHARD_SHIFT) + pack
+                poss[i] = pos
+                fills[i] = acc
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shard": pdf["shard"],
+                    "pack_id": packs,
+                    "pack_pos": poss,
+                    "n_tokens": pdf["n_tokens"],
+                    "pack_fill": fills,
+                }
+            )
+
+    return (
+        slim.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord", "doc_id")
+        .mapInPandas(scan_stream, schema=_pack_schema())
+        .select("doc_id", "shard", "pack_id", "pack_pos", "n_tokens",
+                "pack_fill")
+    )
 
 
 def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:

@@ -178,8 +178,10 @@ def test_dup_clusters_rounds_are_join_aggregate_only(spark):
 
 def test_pack_greedy_single_shuffle_arrow_scan(spark):
     """pack_greedy's physical plan: exactly ONE exchange (the shard hash
-    partition) feeding one Arrow FlatMapGroupsInPandas — no hidden extra
-    shuffle, no row-at-a-time Python."""
+    partition) feeding a streaming MapInPandas over in-partition-sorted
+    rows — no hidden extra shuffle, no row-at-a-time Python, and no
+    whole-group materialization (FlatMapGroupsInPandas would load a full
+    shard per task — the r6 bounded-memory rework removed it)."""
     from commerce_logs_pipeline_spark.operators import packing
 
     docs = spark.range(500).selectExpr(
@@ -188,7 +190,8 @@ def test_pack_greedy_single_shuffle_arrow_scan(spark):
     p = packing.pack_greedy(docs, "n_tokens", capacity=64, n_shards=4)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no whole-shard frames
     assert "BatchEvalPython" not in plan  # never the row-at-a-time path
 
 
