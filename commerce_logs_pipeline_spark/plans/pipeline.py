@@ -225,14 +225,32 @@ def run_pipeline(
 
     tp = time.monotonic()
     if write_aggregates:
-        for name, frame in (
-            ("conv_turn_counts", conv_turn_counts(agg_source)),
-            ("tool_rates", per_tool_call_rates(agg_source)),
-            ("hourly_errors", hourly_error_rollup(agg_source)),
-        ):
+        # The three aggregates are independent consumers of the same
+        # (persisted) slim scan: submit them from a small thread pool so
+        # each job's straggler tail is back-filled by the next job's
+        # tasks (guide §2.6 overlap-independent-jobs; Spark's scheduler
+        # is fully concurrent, actions were only sequential because this
+        # loop called them sequentially). Cache fill is safe under
+        # concurrency — BlockManager serializes per-partition computes.
+        # Job descriptions are thread-local, so the UI stays labeled.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_agg(item):
+            name, frame = item
             ta = time.monotonic()
             frame.write.mode("overwrite").parquet(f"{base_path}/agg/{name}")
-            phases[f"agg_{name}"] = round(time.monotonic() - ta, 2)
+            return name, round(time.monotonic() - ta, 2)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for name, sec in pool.map(
+                _write_agg,
+                [
+                    ("conv_turn_counts", conv_turn_counts(agg_source)),
+                    ("tool_rates", per_tool_call_rates(agg_source)),
+                    ("hourly_errors", hourly_error_rollup(agg_source)),
+                ],
+            ):
+                phases[f"agg_{name}"] = sec
     phases["aggregates"] = round(time.monotonic() - tp, 2)
 
     tp = time.monotonic()
