@@ -119,6 +119,17 @@ def pack_greedy(
             n = len(pdf)
             shards = pdf["shard"].to_numpy()
             toks = pdf["n_tokens"].to_numpy()
+            # Precondition check (cheap vectorized pass): a null token
+            # count arrives as NaN (nullable long -> float64) and a
+            # negative one (e.g. size(null)=-1 upstream) would silently
+            # corrupt pack_fill/capacity accounting — refuse both.
+            if pdf["n_tokens"].isna().any() or (toks < 0).any():
+                raise ValueError(
+                    "pack_greedy: null or negative token count in "
+                    f"tokens_col (batch doc_ids e.g. "
+                    f"{pdf['doc_id'].head(3).tolist()}); filter or fix "
+                    "upstream — capacity accounting requires counts >= 0"
+                )
             packs = [0] * n
             poss = [0] * n
             fills = [0] * n

@@ -150,6 +150,20 @@ def write_sinks_single_pass(
         )
     run_path = f"{base_path}/routed/runid={run_id}"
     spark = parsed.sparkSession
+
+    def _apply_sort_cols(d: DataFrame) -> DataFrame:
+        # A typo in sort_cols must not silently produce UNCLUSTERED files
+        # (defeating the point-read layout the caller asked for): fail
+        # loudly instead of skipping the sort.
+        if not sort_cols:
+            return d
+        missing = [c for c in sort_cols if c not in d.columns]
+        if missing:
+            raise ValueError(
+                f"sort_cols {missing} not in frame columns; "
+                "ingest-time clustering would be silently skipped"
+            )
+        return d.sortWithinPartitions("category", "day", "bucket", *sort_cols)
     # Write-task count sized by shuffle partitioning, floored at the core
     # count: fewer tasks than shuffle.partitions makes each task sort its
     # whole slice of the run in memory (dynamic-partition writes sort by
@@ -183,13 +197,7 @@ def write_sinks_single_pass(
         # cluster at COMPACTION, not ingest: compact_routed applies this
         # sort when it rewrites closed partitions, so maintained tables
         # get the clustered layout without taxing the hot path.
-        .transform(
-            lambda d: d.sortWithinPartitions(
-                "category", "day", "bucket", *sort_cols
-            )
-            if sort_cols and all(c in d.columns for c in sort_cols)
-            else d
-        )
+        .transform(_apply_sort_cols)
         .write.mode("overwrite")
         # static overwrite of this run's own dir (v2 task-side commit);
         # NEVER the serial dynamic-partition staging path

@@ -154,11 +154,18 @@ def encode_docs(
     beyond the term itself, and the rebuild shuffle is keyed by doc —
     uniform, token-count-proportional, no skew beyond document length.
 
-    Returns (doc_id, n_tokens, token_ids array<int>).
+    Returns (doc_id, n_tokens, token_ids array<int>). A document whose
+    text tokenizes to zero tokens (empty/whitespace/null text) is KEPT
+    as (doc_id, 0, []): ``posexplode_outer`` emits one null-pos row for
+    the empty array, the aggregate counts only non-null positions, and
+    the collect skips the null sentinel — so the output spine equals the
+    input spine with no extra join.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+        F.posexplode_outer(
+            tokens(F.lower(F.col(text_col)))
+        ).alias("pos", "term"),
     )
     mapped = toks.join(F.broadcast(vocab.select("term", "token_id")),
                        "term", "left").select(
@@ -166,10 +173,16 @@ def encode_docs(
         "pos",
         F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
     )
-    seq = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    # collect_list drops null ENTRIES (not null fields), so wrapping the
+    # struct in when(pos is not null) excludes the empty-doc sentinel row
+    seq = F.array_sort(
+        F.collect_list(
+            F.when(F.col("pos").isNotNull(), F.struct("pos", "tid"))
+        )
+    )
     return (
         mapped.groupBy("doc_id")
-        .agg(seq.alias("_seq"), F.count("*").alias("n_tokens"))
+        .agg(seq.alias("_seq"), F.count("pos").alias("n_tokens"))
         .select(
             "doc_id",
             "n_tokens",

@@ -88,9 +88,14 @@ def run(args, spark) -> int:
 
     asof = None
     if getattr(args, "asof", None):
-        from datetime import datetime
+        from datetime import datetime, timezone
 
         asof = datetime.fromisoformat(args.asof)
+        if asof.tzinfo is None:
+            # manifest updated_at values are instants (current_timestamp);
+            # a NAIVE literal would be read in the driver session zone,
+            # time-traveling to a snapshot offset by the UTC delta
+            asof = asof.replace(tzinfo=timezone.utc)
     df = read_routed(spark, args.base, asof=asof)
     if args.cmd == "filter":
         out = df.filter(F.expr(args.expr))

@@ -3,6 +3,7 @@ equality, per-sink aggregate counts, salted-agg equivalence)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from commerce_logs_pipeline_spark.operators.router import (
@@ -222,6 +223,21 @@ def test_write_clusters_rows_for_rowgroup_skipping(parsed_10k, tmp_path):
         for c, ti in zip(convs, turns):
             assert last.get(c, -1) <= ti, f"turn_idx unsorted within {c}"
             last[c] = ti
+
+
+def test_write_rejects_unknown_sort_cols(parsed_10k, tmp_path):
+    """ADVICE r5: a typo in sort_cols must raise, not silently write
+    UNCLUSTERED files (which would defeat the point-read layout the
+    caller asked for with no signal)."""
+    from commerce_logs_pipeline_spark.operators.router import (
+        write_sinks_single_pass,
+    )
+
+    with pytest.raises(ValueError, match="sort_cols"):
+        write_sinks_single_pass(
+            parsed_10k, str(tmp_path), run_id="rbad",
+            sort_cols=("conv_id", "turn_idxx"),
+        )
 
 
 def test_compaction_applies_cluster_sort(spark, tmp_path):

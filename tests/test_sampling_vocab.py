@@ -200,6 +200,22 @@ def test_pack_greedy_oversize_doc_is_alone(spark):
     assert joined.filter(F.col("n") > 1).count() == 0
 
 
+def test_pack_greedy_rejects_null_and_negative_counts(spark):
+    """ADVICE r5: a null/negative token count (e.g. size(null) = -1
+    upstream) must fail loudly instead of silently corrupting pack_fill
+    and capacity accounting."""
+    bad_null = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 7)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null or negative token count"):
+        packing.pack_greedy(bad_null, "n_tokens", capacity=64).collect()
+    bad_neg = spark.createDataFrame(
+        [(0, 10), (1, -1)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null or negative token count"):
+        packing.pack_greedy(bad_neg, "n_tokens", capacity=64).collect()
+
+
 def test_pack_greedy_deterministic_under_repartition(spark):
     """Assignments are a pure function of (id, tokens, seed) — immune to
     input order/partitioning, hence to task retries and speculation."""
@@ -290,6 +306,24 @@ def test_encode_docs_roundtrip_and_unk(spark):
     enc3 = {r.doc_id: r for r in vocab.encode_docs(docs, tiny).collect()}
     assert 0 in enc3[3].token_ids  # unk_id present for OOV terms
     assert all(t in (0, 1, 2) for r in enc3.values() for t in r.token_ids)
+
+
+def test_encode_docs_keeps_zero_token_docs(spark):
+    """ADVICE r5: a doc whose text tokenizes to zero tokens (empty,
+    whitespace, or null) must stay on the output spine as
+    (doc_id, 0, []) — not silently vanish — so downstream invariants
+    like encoded_docs == survivor_docs hold."""
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    v = vocab.build_vocab(docs, size=4)
+    enc = {r.doc_id: r for r in vocab.encode_docs(docs, v).collect()}
+    assert set(enc) == {0, 1, 2, 3}
+    assert enc[0].n_tokens == 2 and len(enc[0].token_ids) == 2
+    for d in (1, 2, 3):
+        assert enc[d].n_tokens == 0
+        assert list(enc[d].token_ids) == []
 
 
 def test_assemble_packs_matches_duckdb_string_agg(spark):
