@@ -246,8 +246,13 @@ def dup_clusters(
     ever decrease, so an unchanged sum means a fixed point), attached to
     the round's checkpoint job as an OBSERVED metric — zero extra jobs
     per round (r6; previously a separate scalar collect per round).
-    Exhausting max_iterations without the fixpoint raises instead of
-    returning partial clusters.
+    Exhausting ``max_iterations`` without the fixpoint AUTO-ESCALATES:
+    the round budget doubles (with a RuntimeWarning) up to a hard cap of
+    4x the initial budget, so a long production run never throws away
+    completed shuffle work over an under-sized knob — every finished
+    round's labels are checkpointed and the loop simply continues from
+    them. Past the cap it still raises rather than return silently split
+    clusters (partial labels are WRONG answers, not approximations).
 
     ``all_ids`` (one id column) adds singleton vertices so every document
     receives a cluster row.
@@ -310,7 +315,10 @@ def dup_clusters(
     )
     prev_sum = init_obs.get["s"]
     converged = False
-    for _ in range(max_iterations):
+    budget = max_iterations
+    hard_cap = 4 * max_iterations
+    rounds = 0
+    while rounds < budget:
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), on="src")
             .select(F.col("dst").alias("id"), "label")
@@ -346,13 +354,30 @@ def dup_clusters(
             converged = True
             break
         prev_sum = new_sum
+        rounds += 1
+        if rounds == budget and budget < hard_cap:
+            # Auto-escalate instead of discarding the completed rounds:
+            # the current labels are a checkpointed frame, so continuing
+            # costs only the REMAINING rounds — at 100 TB, re-running the
+            # whole job over a knob is the expensive wrong default.
+            import warnings
+
+            budget = min(hard_cap, budget * 2)
+            warnings.warn(
+                f"dup_clusters: no fixpoint after {rounds} rounds; "
+                f"escalating round budget to {budget} "
+                f"(hard cap {hard_cap})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if not converged:
         raise RuntimeError(
             f"dup_clusters: min-label propagation did not reach the "
-            f"fixpoint within max_iterations={max_iterations}; a component "
-            f"has propagation diameter > {max_iterations} and its cluster "
-            f"labels would be silently split. Re-run with a larger "
-            f"max_iterations."
+            f"fixpoint within {hard_cap} rounds (max_iterations="
+            f"{max_iterations}, auto-escalated 4x); a component has "
+            f"propagation diameter beyond the escalated budget and its "
+            f"cluster labels would be silently split. Re-run with a "
+            f"larger max_iterations."
         )
     out = labels.select("id", F.col("label").alias("cluster_id"))
     if all_ids is not None:
